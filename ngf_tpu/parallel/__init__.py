@@ -1,0 +1,5 @@
+"""Device mesh construction and sharding helpers."""
+
+from .mesh import make_mesh, data_sharding, replicated_sharding, shard_batch
+
+__all__ = ["make_mesh", "data_sharding", "replicated_sharding", "shard_batch"]

@@ -1,0 +1,206 @@
+"""Dense-masked volume rendering of tri-plane fields.
+
+JAX re-design of `Base.forward` (`InfoInv/models/FieldBase.py:228-282`).
+The reference builds variable-length point sets with boolean indexing
+(`xyz_sampled[valid_ray]`, `rgb[rgb_mask]`); that is hostile to XLA's static
+shapes, so here every sample is evaluated densely and invalid contributions
+are zeroed by masks. Numerically the composited outputs are identical:
+invalid samples get density 0 → alpha 0 → weight ~0, and rgb contributions
+below the ray-march weight threshold are multiplied out exactly as the
+reference leaves them at 0 (`FieldBase.py:261-265`).
+
+An optional fixed-capacity compaction (``sample_cap``) keeps the expensive
+decoder work proportional to the number of *valid* samples per ray: a stable
+argsort moves in-bbox/occupied samples to the front of the sample axis and
+the field is evaluated on only the first ``sample_cap`` slots. Order is
+preserved, so the exclusive-cumprod transmittance is unchanged; dropped
+samples are ones the reference would also have skipped (outside bbox or
+alpha-culled). This is the TPU replacement for ragged gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.triplane import (
+    TriPlaneConfig,
+    triplane_density,
+    triplane_gauge,
+    triplane_project,
+    triplane_rgb,
+)
+from ..ops.compositing import raw2alpha
+from ..ops.grid_sample import grid_sample_3d
+from ..ops.rays import stratified_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (hashable, jit-friendly).
+
+    aabb/near/far/step_size are carried as static floats: they change only at
+    stage boundaries (shrink/upsample), where recompilation is expected and
+    intended (`TriPlane/main.py:329-357`).
+    """
+
+    aabb: tuple[tuple[float, float, float], tuple[float, float, float]]
+    near: float = 2.0
+    far: float = 6.0
+    n_samples: int = 443
+    step_size: float = 0.01
+    distance_scale: float = 25.0
+    ray_march_weight_thres: float = 1e-4
+    white_bg: bool = True
+    sample_cap: int = 0  # 0 = dense (no compaction)
+
+    @property
+    def aabb_array(self) -> jnp.ndarray:
+        return jnp.asarray(self.aabb, dtype=jnp.float32)
+
+
+def normalize_coord(xyz: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
+    """Map AABB coords to [-1, 1] (`InfoInv/models/FieldBase.py:88-89`)."""
+    inv_size = 2.0 / (aabb[1] - aabb[0])
+    return (xyz - aabb[0]) * inv_size - 1.0
+
+
+def _compact(order_key: jnp.ndarray, cap: int, *arrays: jnp.ndarray):
+    """Stable-sort samples so valid ones come first; keep the first ``cap``.
+
+    order_key: (N, S) int32 — 0 for valid, 1 for invalid (stable sort keeps
+    relative order within each class, preserving the marching order).
+    """
+    order = jnp.argsort(order_key, axis=-1, stable=True)[..., :cap]  # (N, cap)
+    outs = []
+    for a in arrays:
+        if a.ndim == order.ndim:
+            outs.append(jnp.take_along_axis(a, order, axis=1))
+        else:
+            outs.append(jnp.take_along_axis(a, order[..., None], axis=1))
+    return outs
+
+
+def render_rays(
+    params: Any,
+    model_cfg: TriPlaneConfig,
+    rcfg: RenderConfig,
+    rays: jnp.ndarray,
+    key: jax.Array | None,
+    *,
+    is_train: bool,
+    iteration: jnp.ndarray | int = 0,
+    alpha_volume: jnp.ndarray | None = None,
+    alpha_aabb: jnp.ndarray | None = None,
+) -> dict[str, jnp.ndarray]:
+    """Render a chunk of rays.
+
+    Args:
+      params: tri-plane parameter pytree.
+      rays: (N, 6) [origin, direction]; directions normalized (Blender
+        pipeline normalizes in the loader, `InfoInv/dataLoader/blender.py:52`).
+      key: PRNG key (train jitter + white-bg randomization).
+      iteration: current train iteration (drives the gauge schedule).
+      alpha_volume: optional (D, H, W) occupancy grid in the reference's
+        z-major layout; samples with trilinear alpha == 0 are culled
+        (`FieldBase.py:238-244`).
+      alpha_aabb: (2, 3) AABB of the alpha volume (it is frozen at mask
+        creation and survives later field AABB shrinks).
+
+    Returns:
+      dict with 'rgb_map' (N, 3) and 'depth_map' (N,).
+    """
+    aabb = rcfg.aabb_array
+    rays_o, viewdirs = rays[:, 0:3], rays[:, 3:6]
+
+    k_jit = k_bg = None
+    if key is not None:
+        k_jit, k_bg = jax.random.split(key)
+
+    pts, z_vals, valid = stratified_sample(
+        k_jit, rays_o, viewdirs, aabb, rcfg.near, rcfg.far,
+        rcfg.n_samples, rcfg.step_size, is_train,
+    )
+    # dists: forward differences with trailing zero (`FieldBase.py:235`).
+    dists = jnp.concatenate(
+        [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], axis=-1
+    )
+
+    if alpha_volume is not None:
+        a_aabb = aabb if alpha_aabb is None else alpha_aabb
+        alphas = grid_sample_3d(
+            alpha_volume[..., None], normalize_coord(pts, a_aabb)
+        )[..., 0]
+        valid = valid & (alphas > 0)
+
+    if rcfg.sample_cap and rcfg.sample_cap < rcfg.n_samples:
+        order_key = (~valid).astype(jnp.int32)
+        pts, z_vals, dists, valid = _compact(
+            order_key, rcfg.sample_cap, pts, z_vals, dists, valid
+        )
+
+    n, s = z_vals.shape
+    vmask = valid.astype(pts.dtype)
+
+    xyz_n = normalize_coord(pts, aabb)
+    xy, yz, xz = triplane_project(xyz_n)
+    xy, yz, xz = triplane_gauge(params, model_cfg, xy, yz, xz, iteration)
+
+    sigma = triplane_density(params, model_cfg, xy, yz, xz) * vmask
+
+    alpha, weight, bg_weight = raw2alpha(sigma, dists * rcfg.distance_scale)
+
+    # rgb only where the blend weight clears the threshold (`FieldBase.py:261-265`).
+    rgb_mask = (weight > rcfg.ray_march_weight_thres).astype(pts.dtype)
+    views = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3))
+    rgb = triplane_rgb(params, model_cfg, xy, yz, xz, views) * rgb_mask[..., None]
+
+    acc_map = jnp.sum(weight, axis=-1)
+    rgb_map = jnp.sum(weight[..., None] * rgb, axis=-2)
+
+    if rcfg.white_bg:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+    elif is_train:
+        # 50% random white background per batch (`FieldBase.py:270`).
+        mix = (jax.random.uniform(k_bg, ()) < 0.5).astype(rgb_map.dtype)
+        rgb_map = rgb_map + mix * (1.0 - acc_map[..., None])
+
+    rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+
+    depth_map = jnp.sum(weight * z_vals, axis=-1)
+    depth_map = jax.lax.stop_gradient(
+        depth_map + (1.0 - acc_map) * rays[..., -1]
+    )
+
+    return {"rgb_map": rgb_map, "depth_map": depth_map, "acc_map": acc_map}
+
+
+def compute_alpha_grid_chunk(
+    params: Any,
+    model_cfg: TriPlaneConfig,
+    xyz: jnp.ndarray,
+    aabb: jnp.ndarray,
+    step_size: float,
+    alpha_volume: jnp.ndarray | None = None,
+    alpha_aabb: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Alpha at arbitrary 3D locations (`Base.compute_alpha`,
+    `InfoInv/models/FieldBase.py:140-159`).
+
+    Used to densify the occupancy grid. The gauge is evaluated with
+    iteration=-1, matching the reference's un-gauged alpha updates
+    (`TriPlane/models/FieldBase.py:154`).
+    """
+    mask = jnp.ones(xyz.shape[:-1], dtype=bool)
+    if alpha_volume is not None:
+        a_aabb = aabb if alpha_aabb is None else alpha_aabb
+        prev = grid_sample_3d(alpha_volume[..., None], normalize_coord(xyz, a_aabb))[..., 0]
+        mask = prev > 0
+    xyz_n = normalize_coord(xyz, aabb)
+    xy, yz, xz = triplane_project(xyz_n)
+    xy, yz, xz = triplane_gauge(params, model_cfg, xy, yz, xz, -1)
+    sigma = triplane_density(params, model_cfg, xy, yz, xz) * mask.astype(xyz.dtype)
+    return 1.0 - jnp.exp(-sigma * step_size)
