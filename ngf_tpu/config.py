@@ -1,0 +1,165 @@
+"""Config/flag system mirroring the reference CLIs.
+
+InfoInv/TriPlane use configargparse (CLI flags + ``--config`` file of
+``key = value`` lines, CLI overriding file — `InfoInv/opt.py:3-123`,
+`TriPlane/opt.py:115`). configargparse isn't available here, so this module
+implements the same contract with stdlib argparse: the config file is parsed
+first and injected as defaults, reproducing the reference's precedence and
+file syntax (including inline ``#`` comments and ``[a, b]`` lists, see
+`TriPlane/configs/lego.txt`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Any
+
+
+def parse_config_file(path: str) -> dict[str, Any]:
+    """Parse a ``key = value`` config file with # comments and [..] lists."""
+    out: dict[str, Any] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, val = (s.strip() for s in line.split("=", 1))
+            out[key] = _parse_value(val)
+    return out
+
+
+def _parse_value(val: str) -> Any:
+    if val.startswith("[") and val.endswith("]"):
+        inner = val[1:-1].strip()
+        return [_parse_value(v.strip()) for v in inner.split(",")] if inner else []
+    for cast in (int, float):
+        try:
+            return cast(val)
+        except ValueError:
+            pass
+    if val.lower() in ("true", "false"):
+        return val.lower() == "true"
+    return val
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    """All knobs of `InfoInv/opt.py` + `TriPlane/opt.py` plus TPU-native ones."""
+
+    config: str | None = None
+    expname: str = "exp"
+    basedir: str = "./log"
+    add_timestamp: int = 0
+    datadir: str = "./data/llff/fern"
+    progress_refresh_rate: int = 10
+
+    with_depth: bool = False
+    downsample_train: float = 1.0
+    downsample_test: float = 1.0
+
+    model_name: str = "TriPlane"
+    subsystem: str = "infoinv"  # 'infoinv' | 'triplane' (reference: repo dir)
+    batch_size: int = 4096
+    n_iters: int = 30000
+    dataset_name: str = "blender"
+
+    lr_init: float = 0.02
+    lr_basis: float = 1e-3
+    lr_decay_iters: int = -1
+    lr_decay_target_ratio: float = 0.1
+    lr_upsample_reset: int = 1
+
+    L1_weight_initial: float = 0.0
+    L1_weight_rest: float = 0.0
+    Ortho_weight: float = 0.0
+    TV_weight_density: float = 0.0
+    TV_weight_app: float = 0.0
+
+    rm_weight_mask_thre: float = 1e-4
+    alpha_mask_thre: float = 1e-4
+    distance_scale: float = 25.0
+    density_shift: float = -10.0
+
+    ckpt: str | None = None
+    render_only: int = 0
+    render_test: int = 0
+    render_train: int = 0
+    render_path: int = 0
+    export_mesh: int = 0
+
+    lindisp: bool = False
+    perturb: float = 1.0
+    accumulate_decay: float = 0.998
+    ndc_ray: int = 0
+    nSamples: int = 1_000_000
+    step_ratio: float = 0.5
+
+    white_bkgd: bool = False
+    N_voxel_init: int = 100 ** 3
+    N_voxel_final: int = 300 ** 3
+    upsamp_list: list[int] = dataclasses.field(default_factory=list)
+    update_AlphaMask_list: list[int] = dataclasses.field(default_factory=list)
+
+    idx_view: int = 0
+    N_vis: int = 5
+    vis_every: int = 10000
+    transform_type: str = "continuous"
+    infoinv: bool = False
+    gauge_start: int = 0
+
+    # TPU-native additions (no reference counterpart):
+    seed: int = 20211202
+    sample_cap: int = 0  # fixed-capacity sample compaction; 0 = dense
+    plane_res: int = 256  # reference hard-codes 256 (Field.py:14/17)
+    gauge_res: int = 256
+    microbatch: int = 1  # gradient accumulation chunks per step (memory knob)
+    steps_per_call: int = 64  # train steps fused into one device call (scan)
+    alpha_grid_res: int = 256  # occupancy grid resolution (ref: main.py:324)
+    save_every: int = 10000
+    eval_chunk: int = 4096
+    compute_extra_metrics: int = 1
+
+
+_BOOL_FLAGS = {"with_depth", "lindisp", "white_bkgd", "infoinv"}
+
+
+def config_parser(cmd: list[str] | None = None) -> TrainArgs:
+    """Parse CLI (+ optional --config file) into TrainArgs."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", type=str, default=None)
+    pre_args, _ = pre.parse_known_args(cmd)
+
+    defaults = dataclasses.asdict(TrainArgs())
+    if pre_args.config:
+        file_vals = parse_config_file(pre_args.config)
+        unknown = set(file_vals) - set(defaults)
+        if unknown:
+            raise ValueError(f"unknown config keys in {pre_args.config}: {sorted(unknown)}")
+        defaults.update(file_vals)
+    defaults["config"] = pre_args.config
+
+    parser = argparse.ArgumentParser()
+    for f in dataclasses.fields(TrainArgs):
+        name = f.name
+        if name == "config":
+            parser.add_argument("--config", type=str, default=defaults["config"])
+            continue
+        default = defaults[name]
+        if name in _BOOL_FLAGS:
+            if default:
+                parser.add_argument(f"--{name}", action="store_true", default=True)
+            else:
+                parser.add_argument(f"--{name}", action="store_true", default=False)
+        elif isinstance(default, list) or f.type.startswith("list"):
+            parser.add_argument(f"--{name}", type=int, action="append", default=default)
+        elif isinstance(default, bool):
+            parser.add_argument(f"--{name}", type=int, default=int(default))
+        elif isinstance(default, int):
+            parser.add_argument(f"--{name}", type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(f"--{name}", type=float, default=default)
+        else:
+            parser.add_argument(f"--{name}", type=str, default=default)
+    ns = parser.parse_args(cmd)
+    return TrainArgs(**vars(ns))

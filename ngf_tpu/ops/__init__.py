@@ -3,6 +3,7 @@
 from .encoding import positional_encoding, infoinv_modulate
 from .grid_sample import (
     grid_sample_2d,
+    grid_sample_2d_border,
     grid_sample_3d,
     resize_bilinear_2d,
     max_pool_3d,
@@ -21,6 +22,7 @@ __all__ = [
     "positional_encoding",
     "infoinv_modulate",
     "grid_sample_2d",
+    "grid_sample_2d_border",
     "grid_sample_3d",
     "resize_bilinear_2d",
     "max_pool_3d",

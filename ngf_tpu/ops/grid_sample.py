@@ -127,6 +127,41 @@ def grid_sample_3d(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def grid_sample_2d_border(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample with ``align_corners=False`` + border padding.
+
+    The texture-sampling variant used for edited-texture lookup
+    (`UV-Mapping/util.py:228-236,280-281`): coordinate c maps to pixel
+    ((c + 1) * size - 1) / 2 and out-of-range taps clamp to the border.
+
+    Args:
+      plane: (H, W, C); coords: (..., 2), x -> W, y -> H.
+    """
+    H, W, C = plane.shape
+    flat = plane.reshape(H * W, C)
+    x = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5
+    y = ((coords[..., 1] + 1.0) * H - 1.0) * 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx1 = x - x0f
+    wy1 = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    out = None
+    for dx, dy, w in (
+        (0, 0, (1.0 - wx1) * (1.0 - wy1)),
+        (1, 0, wx1 * (1.0 - wy1)),
+        (0, 1, (1.0 - wx1) * wy1),
+        (1, 1, wx1 * wy1),
+    ):
+        xi = jnp.clip(x0 + dx, 0, W - 1)
+        yi = jnp.clip(y0 + dy, 0, H - 1)
+        tap = jnp.take(flat, yi * W + xi, axis=0) * w[..., None]
+        out = tap if out is None else out + tap
+    return out
+
+
 def resize_bilinear_2d(plane: jnp.ndarray, new_hw: tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize of (H, W, C) with align_corners=True semantics.
 

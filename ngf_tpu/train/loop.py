@@ -1,0 +1,533 @@
+"""Staged training driver for the InfoInv / TriPlane subsystems.
+
+Re-creates the training semantics of `InfoInv/main.py:191-360` and
+`TriPlane/main.py:191-388` on TPU:
+
+- one compiled train step per *stage* (static shapes for XLA); stage
+  boundaries are the reference's mid-training events:
+  * alpha-mask creation/update at ``update_AlphaMask_list`` iterations
+    (`InfoInv/main.py:320-332`), with the L1 weight dropping 8e-5 -> 4e-5
+    and ray re-filtering at the first one,
+  * TriPlane-only AABB shrink at the first mask update
+    (`TriPlane/main.py:334-341`),
+  * TriPlane-only grid upsampling at ``upsamp_list`` iterations with
+    optimizer re-creation at initial LRs (`TriPlane/main.py:345-357`).
+- per-iteration exponential LR decay folded into the optimizer
+  (`InfoInv/main.py:298-299`),
+- periodic eval renders + `log.txt` lines (`InfoInv/main.py:304-317`),
+- checkpoints every 10k iterations (`InfoInv/main.py:335-336`).
+
+Steps are dispatched in blocks via ``lax.scan`` ("steps_per_call") so host
+-> device dispatch overhead amortizes across iterations — the TPU-native
+replacement for the reference's per-iteration Python loop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TrainArgs
+from ..data.dataset import RayDataset
+from ..data.sampler import SimpleSampler
+from ..fields.triplane import (
+    TriPlaneConfig,
+    init_triplane,
+    shrink_planes,
+    upsample_planes,
+)
+from ..render.volume import RenderConfig, render_rays
+from ..render.evaluation import evaluation
+from ..utils.checkpoint import save_checkpoint
+from ..utils.grid import cal_n_samples, grid_step_size, n_to_reso
+from ..utils.metrics import mse2psnr
+from .occupancy import (
+    AlphaGrid,
+    filter_rays_alpha,
+    filter_rays_bbox,
+    shrink_box_voxels,
+    update_alpha_mask,
+)
+from .state import make_optimizer, triplane_lr_tree
+from ..fields.triplane import density_l1
+from ..parallel.mesh import data_sharding, replicated_sharding
+
+
+def model_config_from_args(args: TrainArgs) -> TriPlaneConfig:
+    if args.subsystem == "triplane":
+        base = TriPlaneConfig.gauge_preset(gauge_start=args.gauge_start)
+    else:
+        base = TriPlaneConfig.infoinv_preset(infoinv=args.infoinv)
+    return TriPlaneConfig(
+        **{
+            **base.__dict__,
+            "density_shift": args.density_shift,
+            "distance_scale": args.distance_scale,
+            "plane_res": args.plane_res,
+            "gauge_res": args.gauge_res,
+        }
+    )
+
+
+class TriPlaneTrainer:
+    """Owns params/opt state and the stage-compiled step functions."""
+
+    def __init__(
+        self,
+        args: TrainArgs,
+        train_dataset: RayDataset,
+        test_dataset: RayDataset | None = None,
+        logfolder: str | None = None,
+        mesh=None,
+        init_params=None,
+        init_alpha: AlphaGrid | None = None,
+    ):
+        self.args = args
+        self.train_dataset = train_dataset
+        self.test_dataset = test_dataset
+        self.logfolder = logfolder
+        self.mesh = mesh
+        self.log_lines: list[str] = []
+
+        self.model_cfg = model_config_from_args(args)
+        self.aabb = np.asarray(train_dataset.scene_bbox, np.float32)
+        # `InfoInv/main.py:218` hard-codes 256^3 voxels; the voxel grid must
+        # track the plane resolution (shrink crops planes in voxel coords,
+        # `TriPlane/models/Field.py:121-128`), so derive it from plane_res
+        # (== 256 by default, reproducing the reference exactly).
+        self.reso_cur = n_to_reso(args.plane_res ** 3, self.aabb)
+        self.n_samples = min(args.nSamples, cal_n_samples(self.reso_cur, args.step_ratio))
+        self.step_size = grid_step_size(self.aabb, self.reso_cur, args.step_ratio)
+        self.grid_size = list(self.reso_cur)
+
+        key = jax.random.PRNGKey(args.seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = (
+            init_params
+            if init_params is not None
+            else init_triplane(init_key, self.model_cfg)
+        )
+        self.alpha: AlphaGrid | None = init_alpha
+        self.l1_weight = 8e-5  # `InfoInv/main.py:259`
+        self.iteration = 0
+
+        self.n_voxel_list = self._voxel_schedule()
+
+        # Ray pre-filter (bbox) before training (`InfoInv/main.py:252`).
+        self.all_rays = np.asarray(train_dataset.all_rays, np.float32)
+        self.all_rgbs = np.asarray(train_dataset.all_rgbs, np.float32)
+        keep = filter_rays_bbox(self.all_rays, self.aabb)
+        self.all_rays, self.all_rgbs = self.all_rays[keep], self.all_rgbs[keep]
+        self.sampler = SimpleSampler(self.all_rays.shape[0], args.batch_size, args.seed)
+
+        self._make_optimizer(reset=True)
+        self._build_step()
+
+    # ------------------------------------------------------------------ setup
+
+    def _voxel_schedule(self) -> list[int]:
+        ups = self.args.upsamp_list or []
+        if not ups:
+            return []
+        # exp-interpolated N_voxel_init -> final (`TriPlane/main.py:246-247`)
+        return [
+            int(round(v))
+            for v in np.exp(
+                np.linspace(
+                    np.log(self.args.N_voxel_init),
+                    np.log(self.args.N_voxel_final),
+                    len(ups),
+                )
+            )
+        ]
+
+    def _make_optimizer(self, reset: bool):
+        lr_tree = triplane_lr_tree(self.params, self.args.lr_init, self.args.lr_basis)
+        decay_iters = (
+            self.args.lr_decay_iters
+            if self.args.lr_decay_iters > 0
+            else self.args.n_iters
+        )
+        self.optimizer = make_optimizer(
+            lr_tree, self.args.lr_decay_target_ratio, decay_iters
+        )
+        if reset:
+            self.opt_state = self.optimizer.init(self.params)
+
+    def _render_cfg(self, sample_cap: int | None = None) -> RenderConfig:
+        return RenderConfig(
+            aabb=tuple(map(tuple, self.aabb.tolist())),
+            near=float(self.train_dataset.near_far[0]),
+            far=float(self.train_dataset.near_far[1]),
+            n_samples=self.n_samples,
+            step_size=self.step_size,
+            distance_scale=self.args.distance_scale,
+            ray_march_weight_thres=self.args.rm_weight_mask_thre,
+            white_bg=self.train_dataset.white_bg,
+            sample_cap=self.args.sample_cap if sample_cap is None else sample_cap,
+        )
+
+    def _build_step(self):
+        """(Re)compile the scan-blocked train step for the current stage."""
+        model_cfg = self.model_cfg
+        rcfg = self._render_cfg()
+        optimizer = self.optimizer
+        has_alpha = self.alpha is not None
+
+        micro = max(1, self.args.microbatch)
+        tv_density = float(self.args.TV_weight_density)
+        tv_app = float(self.args.TV_weight_app)
+        density_dim = model_cfg.density_dim
+
+        def loss_fn(p, rays, rgbs, key, iteration, l1_w, vol, vaabb):
+            out = render_rays(
+                p, model_cfg, rcfg, rays, key,
+                is_train=True, iteration=iteration,
+                alpha_volume=vol, alpha_aabb=vaabb,
+            )
+            mse = jnp.mean((out["rgb_map"] - rgbs) ** 2)
+            loss = mse + l1_w * density_l1(p)
+            # Optional TV regularizers over the plane channels (the reference
+            # exposes the weights but comments the terms out,
+            # `InfoInv/main.py:280-287`; implemented here as working knobs).
+            if tv_density > 0 or tv_app > 0:
+                from ..utils.metrics import tv_loss_2d
+
+                for name in ("plane_xy", "plane_yz", "plane_xz"):
+                    if tv_density > 0:
+                        loss = loss + tv_density * 1e-2 * tv_loss_2d(
+                            p[name][..., :density_dim]
+                        )
+                    if tv_app > 0:
+                        loss = loss + tv_app * 1e-2 * tv_loss_2d(
+                            p[name][..., density_dim:]
+                        )
+            return loss, mse
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def one_step(carry, batch):
+            params, opt_state = carry
+            rays, rgbs, key, iteration, l1_w, vol, vaabb = batch
+
+            if micro <= 1:
+                (_, mse), grads = grad_fn(
+                    params, rays, rgbs, key, iteration, l1_w, vol, vaabb
+                )
+            else:
+                # Gradient accumulation over ray microbatches bounds activation
+                # memory: the backward of each chunk runs before the next
+                # forward. Equal chunk sizes make the averaged gradient equal
+                # to the full-batch gradient.
+                rays_m = rays.reshape(micro, -1, rays.shape[-1])
+                rgbs_m = rgbs.reshape(micro, -1, rgbs.shape[-1])
+                keys_m = jax.random.split(key, micro)
+
+                def acc_body(acc, xs):
+                    g_acc, mse_acc = acc
+                    r, g, k = xs
+                    (_, mse_i), grads_i = grad_fn(
+                        params, r, g, k, iteration, l1_w, vol, vaabb
+                    )
+                    g_acc = jax.tree.map(lambda a, b: a + b, g_acc, grads_i)
+                    return (g_acc, mse_acc + mse_i), None
+
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (grads, mse), _ = jax.lax.scan(
+                    acc_body, (zero, jnp.float32(0.0)), (rays_m, rgbs_m, keys_m)
+                )
+                grads = jax.tree.map(lambda g: g / micro, grads)
+                mse = mse / micro
+
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), mse
+
+        if has_alpha:
+            vol_c, vaabb_c = self.alpha.volume, self.alpha.aabb
+
+            def block(params, opt_state, rays, rgbs, keys, iterations, l1_w):
+                def body(carry, xs):
+                    r, g, k, it = xs
+                    return one_step(carry, (r, g, k, it, l1_w, vol_c, vaabb_c))
+
+                (params, opt_state), mses = jax.lax.scan(
+                    body, (params, opt_state), (rays, rgbs, keys, iterations)
+                )
+                return params, opt_state, mses
+        else:
+
+            def block(params, opt_state, rays, rgbs, keys, iterations, l1_w):
+                def body(carry, xs):
+                    r, g, k, it = xs
+                    return one_step(carry, (r, g, k, it, l1_w, None, None))
+
+                (params, opt_state), mses = jax.lax.scan(
+                    body, (params, opt_state), (rays, rgbs, keys, iterations)
+                )
+                return params, opt_state, mses
+
+        if self.mesh is not None:
+            repl = replicated_sharding(self.mesh)
+            data = data_sharding(self.mesh)
+            # rays/rgbs blocks: (T, B, ...) sharded on the batch axis (1).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            block_sharding = NamedSharding(self.mesh, P(None, "data"))
+            self._step = jax.jit(
+                block,
+                in_shardings=(repl, repl, block_sharding, block_sharding, repl, repl, repl),
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0, 1),
+            )
+        else:
+            self._step = jax.jit(block, donate_argnums=(0, 1))
+
+    def make_eval_render_fn(self, iteration: int | None = None):
+        """Compiled chunk renderer for evaluation at the current stage."""
+        model_cfg = self.model_cfg
+        rcfg = self._render_cfg()
+        it = self.args.n_iters + 1 if iteration is None else iteration
+        alpha = self.alpha
+
+        @jax.jit
+        def render(params, rays):
+            out = render_rays(
+                params, model_cfg, rcfg, rays, None,
+                is_train=False, iteration=it,
+                alpha_volume=None if alpha is None else alpha.volume,
+                alpha_aabb=None if alpha is None else alpha.aabb,
+            )
+            return out["rgb_map"], out["depth_map"]
+
+        params = self.params
+        return lambda rays: render(params, rays)
+
+    # ------------------------------------------------------------------ events
+
+    def _event_update_alpha_mask(self, first: bool):
+        """`InfoInv/main.py:320-332` / `TriPlane/main.py:329-343`."""
+        r = self.args.alpha_grid_res
+        reso_mask = (r, r, r)
+        self.alpha, new_aabb = update_alpha_mask(
+            self.params,
+            self.model_cfg,
+            self.aabb,
+            self.step_size,
+            grid_size=reso_mask,
+            alpha_thres=self.args.alpha_mask_thre,
+        )
+        if first:
+            self.l1_weight = 4e-5  # `InfoInv/main.py:328`
+            if self.args.subsystem == "triplane":
+                self._event_shrink(new_aabb)
+            keep = filter_rays_alpha(
+                self.all_rays, self.alpha, self.aabb,
+                float(self.train_dataset.near_far[0]),
+                float(self.train_dataset.near_far[1]),
+                self.step_size,
+            )
+            if keep.any():
+                self.all_rays, self.all_rgbs = self.all_rays[keep], self.all_rgbs[keep]
+                self.sampler = SimpleSampler(
+                    self.all_rays.shape[0], self.args.batch_size, self.args.seed
+                )
+            else:
+                # Degenerate occupancy (e.g. mask update before any geometry
+                # emerged) — keep the training set instead of starving.
+                print("[trainer] alpha-mask ray filter kept 0 rays; skipping filter")
+        self._build_step()
+
+    def _event_shrink(self, new_aabb: np.ndarray):
+        """`TriPlane/models/Field.py:117-132` + init_para re-derivation."""
+        t_l, b_r = shrink_box_voxels(self.aabb, new_aabb, self.grid_size)
+        self.params = shrink_planes(self.params, t_l, b_r)
+        new_size = (b_r - t_l).astype(int)
+        self.aabb = np.asarray(new_aabb, np.float32)
+        self.grid_size = [int(v) for v in new_size]
+        self.step_size = grid_step_size(self.aabb, self.grid_size, self.args.step_ratio)
+        # NOTE: the reference does NOT update the training n_samples after
+        # shrink (`TriPlane/main.py:334-341` — nSamples only changes at
+        # upsample events); preserved here.
+        self._make_optimizer(reset=True)
+
+    def _event_upsample(self):
+        """`TriPlane/main.py:345-357`."""
+        if not self.n_voxel_list:
+            return
+        n_voxels = self.n_voxel_list.pop(0)
+        self.reso_cur = n_to_reso(n_voxels, self.aabb)
+        self.n_samples = min(
+            self.args.nSamples, cal_n_samples(self.reso_cur, self.args.step_ratio)
+        )
+        self.params = upsample_planes(self.params, tuple(self.reso_cur))
+        self.grid_size = list(self.reso_cur)
+        self.step_size = grid_step_size(self.aabb, self.grid_size, self.args.step_ratio)
+        # optimizer recreated at initial LRs -> schedule restarts.
+        self._make_optimizer(reset=True)
+        self._build_step()
+
+    # ------------------------------------------------------------------ train
+
+    def _next_block(self, size: int):
+        """Host-side batch block (T, B, ...) for one scan call."""
+        rays = np.empty((size, self.args.batch_size, 6), np.float32)
+        rgbs = np.empty((size, self.args.batch_size, 3), np.float32)
+        for t in range(size):
+            ids = self.sampler.nextids()
+            rays[t] = self.all_rays[ids]
+            rgbs[t] = self.all_rgbs[ids]
+        return rays, rgbs
+
+    def train_block(self, size: int) -> np.ndarray:
+        """Run ``size`` optimizer steps in one device call; returns MSEs."""
+        rays, rgbs = self._next_block(size)
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, size)
+        iterations = jnp.arange(self.iteration, self.iteration + size, dtype=jnp.int32)
+        self.params, self.opt_state, mses = self._step(
+            self.params, self.opt_state,
+            jnp.asarray(rays), jnp.asarray(rgbs),
+            keys, iterations, jnp.float32(self.l1_weight),
+        )
+        self.iteration += size
+        return np.asarray(mses)
+
+    def run(self, progress_cb=None) -> dict:
+        """Full training run with events, eval, logging, checkpoints."""
+        args = self.args
+        events = sorted(
+            set(
+                [i for i in (args.update_AlphaMask_list or [])]
+                + [i for i in (args.upsamp_list or []) if args.subsystem == "triplane"]
+            )
+        )
+        log_path = None
+        if self.logfolder:
+            os.makedirs(self.logfolder, exist_ok=True)
+            os.makedirs(os.path.join(self.logfolder, "imgs_vis"), exist_ok=True)
+            log_path = os.path.join(self.logfolder, "log.txt")
+
+        psnrs_test = [0.0]
+        mses_accum: list[float] = []
+        t0 = time.time()
+        first_mask_done = False
+
+        while self.iteration < args.n_iters:
+            # run until the next boundary (event / vis / save / end)
+            boundaries = [args.n_iters]
+            boundaries += [e for e in events if e > self.iteration]
+            if args.N_vis != 0 and args.vis_every > 0:
+                nxt = (
+                    (self.iteration // args.vis_every) + 1
+                ) * args.vis_every - 1  # fires at vis_every-1 (`main.py:313`)
+                if nxt >= self.iteration:
+                    boundaries.append(nxt)
+            if args.save_every > 0:
+                nxt = ((self.iteration // args.save_every) + 1) * args.save_every
+                boundaries.append(nxt)
+            target = min(b for b in boundaries if b > self.iteration)
+
+            while self.iteration < target:
+                block = min(max(1, args.steps_per_call), target - self.iteration)
+                mses = self.train_block(block)
+                mses_accum.extend(mses.tolist())
+                if log_path and (self.iteration % args.progress_refresh_rate < block):
+                    line = (
+                        f"Iteration {self.iteration:05d}:"
+                        f" train_psnr = {np.mean([mse2psnr(m) for m in mses_accum[-50:]]):.2f}"
+                        f" test_psnr = {float(np.mean(psnrs_test)):.2f}"
+                        f" mse = {mses_accum[-1]:.6f}"
+                    )
+                    with open(log_path, "a") as f:
+                        f.write(line + "\n")
+                if progress_cb:
+                    progress_cb(self.iteration, mses_accum[-1] if mses_accum else None)
+
+            it = self.iteration
+            if args.N_vis != 0 and args.vis_every > 0 and (it % args.vis_every == args.vis_every - 1 or (it + 1) % args.vis_every == 0) and self.test_dataset is not None and self.logfolder:
+                fn = self.make_eval_render_fn(iteration=it)
+                psnrs_test = evaluation(
+                    self.test_dataset, fn,
+                    os.path.join(self.logfolder, "imgs_vis"),
+                    n_vis=args.N_vis, prtx=f"{it:06d}_",
+                    chunk=args.eval_chunk, compute_extra_metrics=False,
+                    write_video=False,
+                ) or [0.0]
+                if log_path:
+                    with open(log_path, "a") as f:
+                        f.write(
+                            f"Iteration {it:05d}: test/psnr = {float(np.mean(psnrs_test)):.2f}\n"
+                        )
+
+            if it in (args.update_AlphaMask_list or []):
+                self._event_update_alpha_mask(first=not first_mask_done)
+                first_mask_done = True
+            if args.subsystem == "triplane" and it in (args.upsamp_list or []):
+                self._event_upsample()
+            if args.save_every > 0 and it % args.save_every == 0 and it > 0 and self.logfolder:
+                self.save(os.path.join(self.logfolder, "model.npz"))
+
+        wall = time.time() - t0
+        if self.logfolder:
+            self.save(os.path.join(self.logfolder, "model.npz"))
+        return {
+            "iterations": self.iteration,
+            "wall_time_s": wall,
+            "final_train_mse": mses_accum[-1] if mses_accum else None,
+            "rays_per_sec": args.batch_size * self.iteration / max(wall, 1e-9),
+        }
+
+    def export_mesh(self, path: str, grid_size: int = 256, level: float = 0.005):
+        """Density grid -> marching-cubes PLY.
+
+        The reference's `--export_mesh` flag calls an undefined `mesh()`
+        (`TriPlane/main.py:400-401`, a latent NameError); this is the working
+        equivalent built on the occupancy machinery + our marching cubes.
+        """
+        from ..utils.marching_cubes import convert_density_to_ply
+        from .occupancy import dense_grid_points
+        from ..render.volume import compute_alpha_grid_chunk
+        from functools import partial as _partial
+
+        pts = dense_grid_points(self.aabb, (grid_size,) * 3).reshape(-1, 3)
+        alpha_fn = jax.jit(
+            _partial(
+                compute_alpha_grid_chunk,
+                model_cfg=self.model_cfg,
+                step_size=self.step_size,
+            )
+        )
+        chunks = []
+        aabb_j = jnp.asarray(self.aabb)
+        for i in range(0, pts.shape[0], 256 * 256 * 8):
+            chunks.append(
+                np.asarray(alpha_fn(self.params, xyz=jnp.asarray(pts[i : i + 256 * 256 * 8]), aabb=aabb_j))
+            )
+        alpha = np.concatenate(chunks).reshape(grid_size, grid_size, grid_size)
+        convert_density_to_ply(alpha, path, self.aabb, level=level)
+
+    def save(self, path: str):
+        meta = {
+            "subsystem": self.args.subsystem,
+            "model_cfg": self.model_cfg.__dict__,
+            "aabb": self.aabb.tolist(),
+            "grid_size": self.grid_size,
+            "step_size": self.step_size,
+            "n_samples": self.n_samples,
+            "near_far": [float(v) for v in self.train_dataset.near_far],
+            "iteration": self.iteration,
+        }
+        save_checkpoint(
+            path,
+            self.params,
+            meta=meta,
+            alpha_volume=None if self.alpha is None else np.asarray(self.alpha.volume),
+            alpha_aabb=None if self.alpha is None else np.asarray(self.alpha.aabb),
+        )

@@ -1,0 +1,179 @@
+"""Occupancy (alpha-mask) subsystem: dense alpha grids, ray filtering, shrink.
+
+TPU re-design of the reference's infrequent host-side events:
+- ``update_alpha_mask`` — dense alpha on a 256^3 grid, 3x3x3 max-pool
+  dilation, threshold to a binary volume
+  (`InfoInv/models/FieldBase.py:161-192`). The reference loops one x-slice
+  at a time; here the grid is evaluated in a few large jitted batches.
+- TriPlane's variant also returns the tight AABB of surviving voxels for
+  ``shrink`` (`TriPlane/models/FieldBase.py:179-215`).
+- ``filter_rays`` — drop training rays that miss the bbox / occupied space
+  (`InfoInv/models/FieldBase.py:194-223`). Chunked jitted mask compute; the
+  final boolean compaction happens host-side (it changes the training-set
+  size, which is a host-level dataset operation, not a per-step one).
+
+The alpha volume is stored in the reference's z-major layout
+(D=gz, H=gy, W=gx) so the trilinear lookup takes (x, y, z) grid coords
+exactly like `AlphaGridMask.sample_alpha` (`FieldBase.py:33-37`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.triplane import TriPlaneConfig
+from ..ops.grid_sample import grid_sample_3d, max_pool_3d
+from ..ops.rays import ray_aabb_range, stratified_sample
+from ..render.volume import compute_alpha_grid_chunk, normalize_coord
+
+
+@dataclasses.dataclass
+class AlphaGrid:
+    """Binary occupancy grid with its own (frozen) AABB."""
+
+    volume: jnp.ndarray  # (D, H, W) float {0, 1}, z-major
+    aabb: jnp.ndarray  # (2, 3)
+
+    def sample(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        return grid_sample_3d(self.volume[..., None], normalize_coord(xyz, self.aabb))[..., 0]
+
+
+def dense_grid_points(aabb: np.ndarray, grid_size: tuple[int, int, int]) -> np.ndarray:
+    """(gx, gy, gz, 3) lattice of sample positions spanning the AABB
+    (`FieldBase.py:165-170`)."""
+    gx, gy, gz = grid_size
+    lin = [np.linspace(0.0, 1.0, g, dtype=np.float32) for g in (gx, gy, gz)]
+    s = np.stack(np.meshgrid(*lin, indexing="ij"), axis=-1)
+    return aabb[0] * (1.0 - s) + aabb[1] * s
+
+
+def update_alpha_mask(
+    params,
+    model_cfg: TriPlaneConfig,
+    aabb,
+    step_size: float,
+    grid_size: tuple[int, int, int] = (256, 256, 256),
+    alpha_thres: float = 1e-4,
+    prev: AlphaGrid | None = None,
+    chunk: int = 256 * 256 * 8,
+) -> tuple[AlphaGrid, np.ndarray]:
+    """Recompute the occupancy grid; returns (grid, new_aabb).
+
+    new_aabb is the tight bbox of voxels surviving the threshold
+    (`TriPlane/models/FieldBase.py:200-210`); InfoInv ignores it.
+    """
+    aabb_np = np.asarray(aabb, dtype=np.float32)
+    pts = dense_grid_points(aabb_np, grid_size).reshape(-1, 3)
+
+    alpha_fn = jax.jit(
+        partial(
+            compute_alpha_grid_chunk,
+            model_cfg=model_cfg,
+            step_size=step_size,
+        )
+    )
+    aabb_j = jnp.asarray(aabb_np)
+    prev_vol = prev.volume if prev is not None else None
+    prev_aabb = prev.aabb if prev is not None else None
+
+    out = []
+    for i in range(0, pts.shape[0], chunk):
+        xyz = jnp.asarray(pts[i : i + chunk])
+        if prev is not None:
+            a = alpha_fn(params, xyz=xyz, aabb=aabb_j,
+                         alpha_volume=prev_vol, alpha_aabb=prev_aabb)
+        else:
+            a = alpha_fn(params, xyz=xyz, aabb=aabb_j)
+        out.append(np.asarray(a))
+    alpha = np.concatenate(out).reshape(grid_size)  # (gx, gy, gz)
+
+    # z-major layout + dilation + threshold (`FieldBase.py:184-191`).
+    alpha_zyx = jnp.asarray(np.ascontiguousarray(alpha.transpose(2, 1, 0)))
+    alpha_zyx = jnp.clip(alpha_zyx, 0.0, 1.0)
+    alpha_zyx = max_pool_3d(alpha_zyx, 3)
+    binary = (alpha_zyx >= alpha_thres).astype(jnp.float32)
+
+    # Tight bbox of surviving voxels, in xyz order.
+    b = np.asarray(binary)  # (gz, gy, gx)
+    occ = b > 0.5
+    if occ.any():
+        zi, yi, xi = np.nonzero(occ)
+        lin = [np.linspace(0.0, 1.0, g, dtype=np.float32) for g in grid_size]
+        xs = aabb_np[0][0] + lin[0][xi] * (aabb_np[1][0] - aabb_np[0][0])
+        ys = aabb_np[0][1] + lin[1][yi] * (aabb_np[1][1] - aabb_np[0][1])
+        zs = aabb_np[0][2] + lin[2][zi] * (aabb_np[1][2] - aabb_np[0][2])
+        new_aabb = np.stack(
+            [
+                np.array([xs.min(), ys.min(), zs.min()], np.float32),
+                np.array([xs.max(), ys.max(), zs.max()], np.float32),
+            ]
+        )
+    else:
+        new_aabb = aabb_np.copy()
+
+    return AlphaGrid(volume=binary, aabb=jnp.asarray(aabb_np)), new_aabb
+
+
+def filter_rays_bbox(
+    all_rays: np.ndarray, aabb, chunk: int = 51200
+) -> np.ndarray:
+    """Boolean keep-mask of rays whose AABB slab test hits
+    (`FieldBase.py:207-213`)."""
+    aabb_j = jnp.asarray(np.asarray(aabb, np.float32))
+
+    @jax.jit
+    def mask_fn(rays):
+        t_min, t_max = ray_aabb_range(rays[:, :3], rays[:, 3:6], aabb_j)
+        return t_max > t_min
+
+    keep = []
+    for i in range(0, all_rays.shape[0], chunk):
+        keep.append(np.asarray(mask_fn(jnp.asarray(all_rays[i : i + chunk]))))
+    return np.concatenate(keep)
+
+
+def filter_rays_alpha(
+    all_rays: np.ndarray,
+    grid: AlphaGrid,
+    aabb,
+    near: float,
+    far: float,
+    step_size: float,
+    n_samples: int = 256,
+    chunk: int = 51200,
+) -> np.ndarray:
+    """Keep-mask of rays that touch occupied space: sample N points per ray
+    and test the alpha grid (`FieldBase.py:214-216`)."""
+    aabb_j = jnp.asarray(np.asarray(aabb, np.float32))
+
+    @jax.jit
+    def mask_fn(rays):
+        pts, _, _ = stratified_sample(
+            None, rays[:, :3], rays[:, 3:6], aabb_j, near, far,
+            n_samples, step_size, False,
+        )
+        return (grid.sample(pts) > 0).any(axis=-1)
+
+    keep = []
+    for i in range(0, all_rays.shape[0], chunk):
+        keep.append(np.asarray(mask_fn(jnp.asarray(all_rays[i : i + chunk]))))
+    return np.concatenate(keep)
+
+
+def shrink_box_voxels(aabb, new_aabb, grid_size) -> tuple[np.ndarray, np.ndarray]:
+    """Voxel crop box for ``shrink`` (`TriPlane/models/Field.py:117-124`):
+    t_l = round((new_min - min)/units), b_r = min(round(...) + 1, grid)."""
+    aabb = np.asarray(aabb, np.float64)
+    new_aabb = np.asarray(new_aabb, np.float64)
+    grid_size = np.asarray(grid_size, np.int64)
+    units = (aabb[1] - aabb[0]) / (grid_size - 1)
+    t_l = np.round(np.round((new_aabb[0] - aabb[0]) / units)).astype(np.int64)
+    b_r = np.round((new_aabb[1] - aabb[0]) / units).astype(np.int64) + 1
+    b_r = np.minimum(b_r, grid_size)
+    return t_l, b_r

@@ -1,0 +1,263 @@
+"""Training/eval driver for the UV-Mapping (NeuTex) subsystem.
+
+Mirrors `UV-Mapping/train.py:84-175` + `Model`/`BaseModel`
+(`UV-Mapping/model/model.py:66-381`):
+
+- step loop to niter+niter_decay; one image's sampled pixel batch per step,
+- Adam(lr) single param group (`model.py:291-293`),
+- 'lambda' LR schedule: constant through ``niter`` then linear decay over
+  ``niter_decay`` steps (`util.py:315-323`), stepped per iteration,
+- losses: color + bg-transmittance + origin + inverse-mapping
+  (`model.py:317-350`),
+- periodic full-image test renders, per-subnetwork checkpoints
+  (geometry/inverse/gauge/texture) + a ``{step}_states`` blob
+  (`model.py:163-230,375-381`).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..fields.neutex import (
+    NeuTexConfig,
+    init_neutex,
+    neutex_forward,
+    neutex_losses,
+)
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
+SUBNETWORKS = {
+    # `Model.get_subnetworks` (`model.py:375-381`)
+    "geometry": "net_geometry_decoder",
+    "inverse": "inverse_network",
+    "gauge": "gauge_network",
+    "texture": "net_texture",
+}
+
+
+def lambda_lr(step, niter: int, niter_decay: int) -> jnp.ndarray:
+    return 1.0 - jnp.maximum(0, step - niter) / float(niter_decay + 1)
+
+
+class UVTrainer:
+    def __init__(
+        self,
+        cfg: NeuTexConfig,
+        dataset,
+        lr: float = 1e-4,
+        niter: int = 500_000,
+        niter_decay: int = 0,
+        loss_weights: dict[str, float] | None = None,
+        seed: int = 0,
+        save_dir: str | None = None,
+        freeze: list[str] | None = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.save_dir = save_dir
+        self.loss_weights = loss_weights or {
+            "color": 1.0, "bg": 1.0, "origin": 1.0, "inverse_mapping": 0.0
+        }
+        self.niter, self.niter_decay = niter, niter_decay
+        self.mesh = mesh
+
+        key = jax.random.PRNGKey(seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = init_neutex(init_key, cfg)
+        self.step_count = 0
+
+        frozen = set(freeze or [])
+        label_tree = {
+            name: ("frozen" if friendly in frozen else "train")
+            for friendly, name in SUBNETWORKS.items()
+            for name in [name]
+        }
+        # map top-level param keys to labels
+        labels = {k: label_tree.get(k, "train") for k in self.params}
+        labels = {
+            k: jax.tree.map(lambda _: lab, self.params[k])
+            for k, lab in labels.items()
+        }
+
+        schedule = partial(lambda_lr, niter=niter, niter_decay=niter_decay)
+        base = optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_schedule(lambda c: lr * schedule(c)),
+            optax.scale(-1.0),
+        )
+        self.optimizer = optax.multi_transform(
+            {"train": base, "frozen": optax.set_to_zero()}, labels
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self._build_step()
+
+    def _build_step(self):
+        cfg = self.cfg
+        weights = dict(self.loss_weights)
+        optimizer = self.optimizer
+
+        def step(params, opt_state, key, campos, raydir, gt, bg, trans):
+            def loss_fn(p):
+                out = neutex_forward(p, cfg, key, campos, raydir, bg)
+                total, losses = neutex_losses(out, gt, trans, weights)
+                return total, losses
+
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            ray_shard = NamedSharding(self.mesh, P(None, "data"))
+            self._step_with_trans = jax.jit(
+                step,
+                in_shardings=(
+                    repl, repl, repl, repl, ray_shard, ray_shard, repl, ray_shard,
+                ),
+                donate_argnums=(0, 1),
+            )
+            self._step_no_trans = jax.jit(
+                lambda p, o, k, c, r, g, b: step(p, o, k, c, r, g, b, None),
+                in_shardings=(repl, repl, repl, repl, ray_shard, ray_shard, repl),
+                donate_argnums=(0, 1),
+            )
+        else:
+            self._step_with_trans = jax.jit(step, donate_argnums=(0, 1))
+            self._step_no_trans = jax.jit(
+                lambda p, o, k, c, r, g, b: step(p, o, k, c, r, g, b, None),
+                donate_argnums=(0, 1),
+            )
+
+    def train_step(self, item: dict[str, np.ndarray]) -> dict[str, float]:
+        """One optimize_parameters() call on one dataset item."""
+        self.key, sub = jax.random.split(self.key)
+        campos = jnp.asarray(item["campos"])
+        raydir = jnp.asarray(item["raydir"])
+        gt = jnp.asarray(item["gt_image"])
+        bg = jnp.asarray(item["background_color"])
+        if "transmittance" in item:
+            self.params, self.opt_state, losses = self._step_with_trans(
+                self.params, self.opt_state, sub, campos, raydir, gt, bg,
+                jnp.asarray(item["transmittance"]),
+            )
+        else:
+            self.params, self.opt_state, losses = self._step_no_trans(
+                self.params, self.opt_state, sub, campos, raydir, gt, bg
+            )
+        self.step_count += 1
+        return {k: float(v) for k, v in losses.items()}
+
+    # ------------------------------------------------------------- rendering
+
+    def render_view(
+        self,
+        campos: np.ndarray,
+        height: int,
+        width: int,
+        focal,
+        rot,
+        princpt,
+        chunk: int = 1024,
+        edit_texture=None,
+        edit_mode: int = 0,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full-image render chunked by rays (`UV-Mapping/train.py:13-81`,
+        `test.py:100-134`). Returns (rgb (H,W,3), transmittance (H,W))."""
+        from ..data.dtu import get_rays_dir
+
+        px, py = np.meshgrid(
+            np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32)
+        )
+        pix = np.stack([px, py], -1)
+        raydir = get_rays_dir(pix, focal, rot, princpt).reshape(-1, 3).astype(np.float32)
+
+        cfg = self.cfg
+        params = self.params
+        edit = None if edit_texture is None else jnp.asarray(edit_texture)
+
+        @jax.jit
+        def render(raydir_chunk):
+            out = neutex_forward(
+                params, cfg, jax.random.PRNGKey(0),
+                jnp.asarray(campos[None].astype(np.float32)),
+                raydir_chunk[None],
+                jnp.zeros((1, 3)),
+                edit_texture=edit,
+                edit_mode=edit_mode,
+                jitter=0.0,
+            )
+            return out["color"][0], out["transmittance"][0]
+
+        rgbs, trans = [], []
+        n = raydir.shape[0]
+        for i in range(0, n, chunk):
+            part = raydir[i : i + chunk]
+            pad = chunk - part.shape[0]
+            if pad:
+                part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
+            c, t = render(jnp.asarray(part))
+            c, t = np.asarray(c), np.asarray(t)
+            if pad:
+                c, t = c[:-pad], t[:-pad]
+            rgbs.append(c)
+            trans.append(t)
+        return (
+            np.concatenate(rgbs).reshape(height, width, 3),
+            np.concatenate(trans).reshape(height, width),
+        )
+
+    # ----------------------------------------------------------- checkpoints
+
+    def save_networks(self, epoch: str | int, other_states: dict | None = None):
+        """Whole-model + per-subnetwork files (`model.py:199-213,375-381`)."""
+        assert self.save_dir is not None
+        os.makedirs(self.save_dir, exist_ok=True)
+        meta = {
+            "cfg": self.cfg.__dict__,
+            "step": self.step_count,
+            **(other_states or {}),
+        }
+        save_checkpoint(
+            os.path.join(self.save_dir, f"{epoch}_net_NeuTex.npz"), self.params, meta
+        )
+        for friendly, name in SUBNETWORKS.items():
+            save_checkpoint(
+                os.path.join(self.save_dir, f"{epoch}_subnet_{friendly}.npz"),
+                self.params[name],
+                {"cfg": self.cfg.__dict__},
+            )
+
+    def load_networks(self, epoch: str | int, resume_dir: str | None = None):
+        path = os.path.join(
+            resume_dir or self.save_dir, f"{epoch}_net_NeuTex.npz"
+        )
+        params, meta, _, _ = load_checkpoint(path)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.step_count = int(meta.get("step", 0))
+        return meta
+
+    def load_subnetworks(
+        self, epoch: str | int, names: list[str], resume_dir: str | None = None
+    ):
+        """Partial warm-start (`model.py:175-197`)."""
+        for friendly in names:
+            path = os.path.join(
+                resume_dir or self.save_dir, f"{epoch}_subnet_{friendly}.npz"
+            )
+            if not os.path.isfile(path):
+                print(f"cannot load {path}")
+                continue
+            sub, _, _, _ = load_checkpoint(path)
+            self.params[SUBNETWORKS[friendly]] = jax.tree.map(jnp.asarray, sub)

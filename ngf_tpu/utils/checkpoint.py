@@ -1,0 +1,88 @@
+"""Self-describing checkpoints with packed occupancy bitmaps.
+
+Matches the reference checkpoint contract (`InfoInv/models/FieldBase.py:
+94-116`): one file holding {kwargs, state_dict, packed alpha volume + its
+aabb}, so a checkpoint alone is enough to rebuild the model. Format here is
+a single ``.npz``: parameter pytree flattened to ``param/<path>`` arrays, a
+JSON metadata blob (model/render config, training state), and the alpha
+volume bit-packed with ``np.packbits`` exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+
+import jax
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> Any:
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_checkpoint(
+    path: str,
+    params: Any,
+    meta: dict | None = None,
+    alpha_volume: np.ndarray | None = None,
+    alpha_aabb: np.ndarray | None = None,
+) -> None:
+    """Write params (+ optional binary occupancy volume) to ``path`` (.npz)."""
+    arrays = {f"param/{k}": v for k, v in _flatten(jax.device_get(params)).items()}
+    blob = dict(meta or {})
+    if alpha_volume is not None:
+        vol = np.asarray(alpha_volume) > 0.5
+        arrays["alphaMask/mask"] = np.packbits(vol.reshape(-1))
+        arrays["alphaMask/aabb"] = np.asarray(alpha_aabb, np.float32)
+        blob["alphaMask.shape"] = list(vol.shape)
+    arrays["meta"] = np.frombuffer(json.dumps(blob).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str):
+    """Returns (params, meta, alpha_volume|None, alpha_aabb|None)."""
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrays.pop("meta")).decode())
+    alpha_volume = alpha_aabb = None
+    if "alphaMask/mask" in arrays:
+        shape = meta["alphaMask.shape"]
+        n = int(np.prod(shape))
+        bits = np.unpackbits(arrays.pop("alphaMask/mask"))[:n]
+        alpha_volume = bits.reshape(shape).astype(np.float32)
+        alpha_aabb = arrays.pop("alphaMask/aabb")
+    params = _unflatten(
+        {k[len("param/") :]: v for k, v in arrays.items() if k.startswith("param/")}
+    )
+    return params, meta, alpha_volume, alpha_aabb

@@ -1,0 +1,164 @@
+"""End-to-end training tests on the synthetic fixture (CPU, tiny shapes)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ngf_tpu.config import TrainArgs
+from ngf_tpu.data import make_synthetic_dataset
+from ngf_tpu.train.loop import TriPlaneTrainer
+from ngf_tpu.parallel import make_mesh
+from ngf_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from ngf_tpu.utils.metrics import mse2psnr
+from ngf_tpu.render.evaluation import render_image
+
+
+def tiny_args(**kw) -> TrainArgs:
+    base = dict(
+        subsystem="infoinv",
+        dataset_name="synthetic",
+        batch_size=512,
+        n_iters=240,
+        nSamples=96,
+        vis_every=0,
+        N_vis=0,
+        save_every=0,
+        upsamp_list=[],
+        update_AlphaMask_list=[],
+        seed=0,
+        plane_res=64,
+        gauge_res=64,
+        alpha_grid_res=64,
+    )
+    base.update(kw)
+    return TrainArgs(**base)
+
+
+@pytest.fixture(scope="module")
+def datasets():
+    train = make_synthetic_dataset("train", n_views=6, wh=(48, 48))
+    test = make_synthetic_dataset("test", n_views=2, wh=(48, 48))
+    return train, test
+
+
+class TestTrainingLoop:
+    def test_loss_decreases_and_psnr_improves(self, datasets, tmp_path):
+        train_ds, test_ds = datasets
+        trainer = TriPlaneTrainer(tiny_args(), train_ds, test_ds, None)
+
+        first = trainer.train_block(8)
+        for _ in range(28):
+            last = trainer.train_block(8)
+        assert np.mean(last) < 0.5 * np.mean(first), (
+            f"training did not converge: first mse {np.mean(first):.4f}, "
+            f"last {np.mean(last):.4f}"
+        )
+        psnr = mse2psnr(float(np.mean(last)))
+        assert psnr > 12.0
+
+    def test_alpha_mask_event_and_stage_transition(self, datasets):
+        train_ds, test_ds = datasets
+        args = tiny_args(n_iters=192, update_AlphaMask_list=[160])
+        trainer = TriPlaneTrainer(args, train_ds, test_ds, None)
+        n_rays_before = trainer.all_rays.shape[0]
+        stats = trainer.run()
+        assert stats["iterations"] == 192
+        assert trainer.alpha is not None
+        vol = np.asarray(trainer.alpha.volume)
+        assert set(np.unique(vol)).issubset({0.0, 1.0})
+        # ray filtering kept a subset
+        assert trainer.all_rays.shape[0] <= n_rays_before
+        # l1 weight dropped (`InfoInv/main.py:328`)
+        assert trainer.l1_weight == pytest.approx(4e-5)
+
+    def test_triplane_subsystem_shrink_and_upsample(self, datasets):
+        train_ds, test_ds = datasets
+        args = tiny_args(
+            subsystem="triplane",
+            gauge_start=24,
+            n_iters=224,
+            update_AlphaMask_list=[160],
+            upsamp_list=[160, 192],
+            N_voxel_init=96 ** 3,
+            N_voxel_final=128 ** 3,
+        )
+        trainer = TriPlaneTrainer(args, train_ds, test_ds, None)
+        shape_before = trainer.params["plane_xy"].shape
+        stats = trainer.run()
+        assert stats["iterations"] == 224
+        shape_after = trainer.params["plane_xy"].shape
+        assert shape_after != shape_before  # shrink and/or upsample happened
+        assert trainer.params["gauge_xy"].shape[-1] == 2
+        # gauge grids received gradient after gauge_start
+        assert float(jnp.abs(trainer.params["gauge_xy"]).sum()) > 0
+
+    def test_eval_render(self, datasets):
+        train_ds, test_ds = datasets
+        trainer = TriPlaneTrainer(tiny_args(n_iters=96), train_ds, test_ds, None)
+        trainer.run()
+        fn = trainer.make_eval_render_fn()
+        w, h = test_ds.img_wh
+        rays = np.asarray(test_ds.all_rays[0]).reshape(-1, 6)
+        rgb, depth = render_image(fn, rays, chunk=1024)
+        gt = np.asarray(test_ds.all_rgbs[0]).reshape(-1, 3)
+        psnr = mse2psnr(float(np.mean((rgb - gt) ** 2)))
+        assert psnr > 11.0, f"render psnr too low: {psnr}"
+        assert np.isfinite(depth).all()
+
+
+class TestSharding:
+    def test_multichip_matches_single(self, datasets):
+        train_ds, test_ds = datasets
+        assert len(jax.devices()) == 8, "conftest should give 8 CPU devices"
+        args = tiny_args(n_iters=16, batch_size=256)
+
+        t_single = TriPlaneTrainer(args, train_ds, test_ds, None)
+        t_mesh = TriPlaneTrainer(args, train_ds, test_ds, None, mesh=make_mesh())
+
+        m1 = t_single.train_block(8)
+        m2 = t_mesh.train_block(8)
+        np.testing.assert_allclose(m1, m2, rtol=2e-4, atol=1e-6)
+        p1 = np.asarray(t_single.params["plane_xy"])
+        p2 = np.asarray(t_mesh.params["plane_xy"])
+        np.testing.assert_allclose(p1, p2, rtol=5e-3, atol=2e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, datasets, tmp_path):
+        train_ds, test_ds = datasets
+        args = tiny_args(n_iters=8)
+        trainer = TriPlaneTrainer(args, train_ds, test_ds, None)
+        trainer.train_block(8)
+        trainer.alpha = None
+        path = os.path.join(tmp_path, "model.npz")
+        trainer.save(path)
+
+        params, meta, vol, vaabb = load_checkpoint(path)
+        assert meta["subsystem"] == "infoinv"
+        assert vol is None
+        orig = jax.device_get(trainer.params)
+        for k in ("plane_xy", "plane_yz", "plane_xz"):
+            np.testing.assert_array_equal(params[k], np.asarray(orig[k]))
+        np.testing.assert_array_equal(
+            params["rgb_decoder"]["mlp"]["layers"][0]["w"],
+            np.asarray(orig["rgb_decoder"]["mlp"]["layers"][0]["w"]),
+        )
+
+    def test_packed_alpha_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        vol = (rng.uniform(size=(13, 9, 11)) > 0.6).astype(np.float32)
+        aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+        path = os.path.join(tmp_path, "m.npz")
+        save_checkpoint(
+            path, {"w": np.ones((3, 3), np.float32)},
+            meta={"x": 1}, alpha_volume=vol, alpha_aabb=aabb,
+        )
+        params, meta, vol2, aabb2 = load_checkpoint(path)
+        assert meta["x"] == 1
+        np.testing.assert_array_equal(vol2, vol)
+        np.testing.assert_array_equal(aabb2, aabb)

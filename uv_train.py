@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""UV-Mapping training CLI, mirroring `UV-Mapping/train.py` + `dtu_train.sh`.
+
+    python uv_train.py --name scan83 --data_root ./data/DTU/scan83 \
+        --random_sample balanced --random_sample_size 24 --sample_num 64 \
+        --primitive_type square --points_per_primitive 2500 --lr 1e-4 \
+        --niter 500000 --print_freq 100 --test_freq 10000 --save_iter_freq 5000
+
+Use ``--dataset_name synthetic_dtu`` to train on the built-in analytic DTU
+stand-in (the reference mirror ships no data.hdf5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    # base options (`UV-Mapping/options.py`)
+    p.add_argument("--name", type=str, default="experiment")
+    p.add_argument("--dataset_name", type=str, default="dtu",
+                   choices=["dtu", "synthetic_dtu"])
+    p.add_argument("--data_root", type=str, default="./data/DTU/scan83")
+    p.add_argument("--checkpoints_dir", type=str, default="./checkpoints/")
+    p.add_argument("--resume_dir", type=str, default="")
+    p.add_argument("--resume_epoch", type=str, default="latest")
+    p.add_argument("--seed", type=int, default=0)
+    # dataset options (`data/dtu.py:41-63`)
+    p.add_argument("--random_sample", type=str, default="no_crop",
+                   choices=["no_crop", "random", "balanced", "patch"])
+    p.add_argument("--random_sample_size", type=int, default=64)
+    p.add_argument("--test_views", type=str, default="6,13,35,30")
+    # model options (`model/model.py:258-275`)
+    p.add_argument("--sample_num", type=int, required=True)
+    p.add_argument("--primitive_type", type=str, choices=["square", "sphere"],
+                   required=True)
+    p.add_argument("--points_per_primitive", type=int, required=True)
+    p.add_argument("--target_texture", type=str, default="None")
+    p.add_argument("--loss_color_weight", type=float, default=1.0)
+    p.add_argument("--loss_bg_weight", type=float, default=1.0)
+    p.add_argument("--loss_origin_weight", type=float, default=1.0)
+    p.add_argument("--loss_inverse_mapping_weight", type=float, default=0.0)
+    p.add_argument("--freeze_subnetworks", type=str, default=None)
+    p.add_argument("--load_subnetworks", type=str, default="")
+    p.add_argument("--load_subnetworks_dir", type=str, default="")
+    p.add_argument("--load_subnetworks_epoch", type=str, default="latest")
+    # train options (`options.py` train branch)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--niter", type=int, default=500000)
+    p.add_argument("--niter_decay", type=int, default=0)
+    p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--test_freq", type=int, default=10000)
+    p.add_argument("--test_num", type=int, default=1)
+    p.add_argument("--save_iter_freq", type=int, default=5000)
+    p.add_argument("--train_and_test", type=int, default=1)
+    # synthetic fixture knobs
+    p.add_argument("--synthetic_views", type=int, default=8)
+    p.add_argument("--synthetic_wh", type=int, default=64)
+    return p.parse_args(argv)
+
+
+def make_dataset(opt, use_test_data=False):
+    if opt.dataset_name == "synthetic_dtu":
+        from ngf_tpu.data.dtu import SyntheticDtuDataset
+
+        return SyntheticDtuDataset(
+            n_views=opt.synthetic_views,
+            wh=(opt.synthetic_wh, opt.synthetic_wh),
+            random_sample=opt.random_sample,
+            random_sample_size=opt.random_sample_size,
+            use_test_data=use_test_data,
+            seed=opt.seed,
+        )
+    from ngf_tpu.data.dtu import DtuDataset
+
+    return DtuDataset(
+        opt.data_root,
+        random_sample=opt.random_sample,
+        random_sample_size=opt.random_sample_size,
+        use_test_data=use_test_data,
+        test_views=opt.test_views,
+        seed=opt.seed,
+    )
+
+
+def main(argv=None):
+    import imageio.v2 as imageio
+
+    from ngf_tpu.fields.neutex import NeuTexConfig
+    from ngf_tpu.train.uv_loop import UVTrainer
+
+    opt = parse_args(argv)
+    np.random.seed(opt.seed)
+
+    dataset = make_dataset(opt)
+    save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    os.makedirs(save_dir, exist_ok=True)
+
+    cfg = NeuTexConfig(
+        primitive_type=opt.primitive_type,
+        sample_num=opt.sample_num,
+        points_per_primitive=opt.points_per_primitive,
+    )
+    trainer = UVTrainer(
+        cfg,
+        dataset,
+        lr=opt.lr,
+        niter=opt.niter,
+        niter_decay=opt.niter_decay,
+        loss_weights={
+            "color": opt.loss_color_weight,
+            "bg": opt.loss_bg_weight,
+            "origin": opt.loss_origin_weight,
+            "inverse_mapping": opt.loss_inverse_mapping_weight,
+        },
+        seed=opt.seed,
+        save_dir=save_dir,
+        freeze=(opt.freeze_subnetworks or "").split(",") if opt.freeze_subnetworks else None,
+    )
+    if opt.load_subnetworks:
+        trainer.load_subnetworks(
+            opt.load_subnetworks_epoch,
+            opt.load_subnetworks.split(","),
+            opt.load_subnetworks_dir or None,
+        )
+    start_step = 0
+    if opt.resume_dir:
+        meta = trainer.load_networks(opt.resume_epoch, opt.resume_dir)
+        start_step = int(meta.get("total_steps", trainer.step_count))
+        print(f"resumed at step {start_step}")
+
+    total_steps = start_step
+    log_path = os.path.join(save_dir, "log.txt")
+    acc: dict[str, float] = {}
+    n_acc = 0
+    t0 = time.time()
+
+    while total_steps < opt.niter + opt.niter_decay:
+        item = dataset.sample()
+        losses = trainer.train_step(item)
+        total_steps += 1
+        n_acc += 1
+        for k, v in losses.items():
+            acc[k] = acc.get(k, 0.0) + v
+
+        if total_steps % opt.print_freq == 0:
+            msg = (
+                f"End of iteration {total_steps} \t Number of batches {n_acc} "
+                f"\t Time taken: {time.time() - t0:.2f}s\n[Average Loss] "
+                + "   ".join(f"{k}: {v / n_acc:.10f}" for k, v in acc.items())
+            )
+            print(msg)
+            with open(log_path, "a") as f:
+                f.write(msg + "\n")
+            acc, n_acc, t0 = {}, 0, time.time()
+
+        if opt.test_freq > 0 and total_steps % opt.test_freq == 0 and opt.train_and_test:
+            test_ds = make_dataset(opt, use_test_data=True)
+            for vi in range(min(opt.test_num, len(test_ds.indexes))):
+                idx = test_ds.indexes[vi]
+                rgb, trans = trainer.render_view(
+                    test_ds.campos[idx], test_ds.height, test_ds.width,
+                    test_ds.focal[idx], test_ds.extrinsics[idx][0:3, 0:3],
+                    test_ds.princpt[idx],
+                    chunk=opt.random_sample_size ** 2,
+                )
+                out = os.path.join(save_dir, f"{total_steps:08d}-test-{vi}.png")
+                imageio.imwrite(out, (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            print(f"test renders written at step {total_steps}")
+
+        if total_steps % opt.save_iter_freq == 0:
+            trainer.save_networks(total_steps, {"total_steps": total_steps})
+            trainer.save_networks("latest", {"total_steps": total_steps})
+
+    trainer.save_networks("latest", {"total_steps": total_steps})
+    print("training finished")
+
+
+if __name__ == "__main__":
+    main()
