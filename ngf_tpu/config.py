@@ -111,6 +111,7 @@ class TrainArgs:
     # TPU-native additions (no reference counterpart):
     seed: int = 20211202
     sample_cap: int = 0  # fixed-capacity sample compaction; 0 = dense
+    rgb_cap: int = 0  # top-K shading capacity per ray; 0 = all samples
     plane_res: int = 256  # reference hard-codes 256 (Field.py:14/17)
     gauge_res: int = 256
     microbatch: int = 1  # gradient accumulation chunks per step (memory knob)

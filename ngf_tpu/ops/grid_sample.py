@@ -24,6 +24,8 @@ TPU-supported dynamic-gather; the fused Pallas path lives in
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +33,127 @@ import jax.numpy as jnp
 def _unnormalize(c: jnp.ndarray, size: int) -> jnp.ndarray:
     # align_corners=True mapping from [-1, 1] to [0, size-1].
     return (c + 1.0) * 0.5 * (size - 1)
+
+
+def _axis_patch_weights(c: jnp.ndarray, size: int):
+    """Per-axis (start, w0, w1) for a clipped 2-texel patch.
+
+    The 2x2 patch starts at clip(floor(c), 0, size-2); patch slot j holds
+    texel start+j. Its weight is the bilinear weight that texel would get as
+    a corner of the *unclipped* stencil, or 0 if it isn't one — reproducing
+    torch's zero padding exactly while letting the whole stencil be fetched
+    with one gather index.
+    """
+    c0f = jnp.floor(c)
+    frac = c - c0f
+    c0 = c0f.astype(jnp.int32)
+    start = jnp.clip(c0, 0, size - 2)
+    w = []
+    for j in (0, 1):
+        cj = start + j
+        w.append(
+            jnp.where(cj == c0, 1.0 - frac, 0.0) + jnp.where(cj == c0 + 1, frac, 0.0)
+        )
+    return start, w[0], w[1]
+
+
+def _patch_gather_2d(plane: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Gather (2, 2, C) patches at integer starts: one descriptor per point.
+
+    XLA TPU gathers are index-rate-bound; fetching the whole bilinear stencil
+    per index is ~4x fewer descriptors than four row gathers.
+    """
+    H, W, C = plane.shape
+    starts = jnp.stack([ys, xs], axis=-1)  # (N, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    return jax.lax.gather(
+        plane,
+        starts,
+        dnums,
+        slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (N, 2, 2, C)
+
+
+# Gather implementation selector: 'patch' fetches the whole 2x2 stencil with
+# one gather descriptor per point (fewer indices); 'rows' issues four
+# clamped row gathers (the conservative path). Switchable at runtime because
+# backend gather support/perf differs.
+_GATHER_IMPL = os.environ.get("NGF_GATHER_IMPL", "patch")
+
+
+def set_gather_impl(name: str) -> None:
+    global _GATHER_IMPL
+    if name not in ("patch", "rows", "pairs"):
+        raise ValueError(f"unknown gather impl {name!r}")
+    _GATHER_IMPL = name
+
+
+def _grid_sample_2d_pairs(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Two (2, C) slice-gathers from the flattened (H*W, C) table: texels
+    (x, y) and (x+1, y) are adjacent rows, so each y-row of the bilinear
+    stencil is one descriptor."""
+    H, W, C = plane.shape
+    flat = plane.reshape(H * W, C)
+    batch_shape = coords.shape[:-1]
+    coords = coords.reshape(-1, 2)
+
+    x = _unnormalize(coords[:, 0], W)
+    y = _unnormalize(coords[:, 1], H)
+    xs, wx0, wx1 = _axis_patch_weights(x, W)
+    ys, wy0, wy1 = _axis_patch_weights(y, H)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    def row_pair(row):
+        starts = (row * W + xs)[:, None]
+        return jax.lax.gather(
+            flat, starts, dnums, slice_sizes=(2, C),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (N, 2, C)
+
+    p0 = row_pair(ys)
+    p1 = row_pair(ys + 1)
+    wx0 = wx0[:, None].astype(plane.dtype)
+    wx1 = wx1[:, None].astype(plane.dtype)
+    out = (
+        wy0[:, None].astype(plane.dtype) * (wx0 * p0[:, 0] + wx1 * p0[:, 1])
+        + wy1[:, None].astype(plane.dtype) * (wx0 * p1[:, 0] + wx1 * p1[:, 1])
+    )
+    return out.reshape(*batch_shape, C)
+
+
+def _grid_sample_2d_rows(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    H, W, C = plane.shape
+    flat = plane.reshape(H * W, C)
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx1 = x - x0f
+    wy1 = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    out = None
+    for dx, dy, w in (
+        (0, 0, (1.0 - wx1) * (1.0 - wy1)),
+        (1, 0, wx1 * (1.0 - wy1)),
+        (0, 1, (1.0 - wx1) * wy1),
+        (1, 1, wx1 * wy1),
+    ):
+        xi = x0 + dx
+        yi = y0 + dy
+        inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        tap = jnp.take(flat, idx, axis=0) * (w * inb.astype(w.dtype))[..., None]
+        out = tap if out is None else out + tap
+    return out
 
 
 def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -46,32 +169,29 @@ def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     Returns:
       (..., C) interpolated features; zero outside [-1, 1].
     """
+    if _GATHER_IMPL == "rows":
+        return _grid_sample_2d_rows(plane, coords)
+    if _GATHER_IMPL == "pairs":
+        return _grid_sample_2d_pairs(plane, coords)
+
     H, W, C = plane.shape
-    flat = plane.reshape(H * W, C)
+    batch_shape = coords.shape[:-1]
+    coords = coords.reshape(-1, 2)
 
-    x = _unnormalize(coords[..., 0], W)
-    y = _unnormalize(coords[..., 1], H)
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    wx1 = x - x0f
-    wy1 = y - y0f
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
+    x = _unnormalize(coords[:, 0], W)
+    y = _unnormalize(coords[:, 1], H)
+    xs, wx0, wx1 = _axis_patch_weights(x, W)
+    ys, wy0, wy1 = _axis_patch_weights(y, H)
 
-    out = None
-    for dx, dy, w in (
-        (0, 0, (1.0 - wx1) * (1.0 - wy1)),
-        (1, 0, wx1 * (1.0 - wy1)),
-        (0, 1, (1.0 - wx1) * wy1),
-        (1, 1, wx1 * wy1),
-    ):
-        xi = x0 + dx
-        yi = y0 + dy
-        inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        tap = jnp.take(flat, idx, axis=0) * (w * inb.astype(w.dtype))[..., None]
-        out = tap if out is None else out + tap
-    return out
+    patch = _patch_gather_2d(plane, ys, xs)  # (N, 2, 2, C)
+    wgt = jnp.stack(
+        [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
+    ).astype(plane.dtype)  # (N, 4)
+    out = jnp.einsum(
+        "npc,np->nc", patch.reshape(-1, 4, C), wgt,
+        preferred_element_type=jnp.float32,
+    ).astype(plane.dtype)
+    return out.reshape(*batch_shape, C)
 
 
 def grid_sample_3d(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -89,42 +209,41 @@ def grid_sample_3d(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
       (..., C).
     """
     D, H, W, C = volume.shape
-    flat = volume.reshape(D * H * W, C)
+    batch_shape = coords.shape[:-1]
+    coords = coords.reshape(-1, 3)
 
-    x = _unnormalize(coords[..., 0], W)
-    y = _unnormalize(coords[..., 1], H)
-    z = _unnormalize(coords[..., 2], D)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    z0 = jnp.floor(z).astype(jnp.int32)
-    wx1 = x - jnp.floor(x)
-    wy1 = y - jnp.floor(y)
-    wz1 = z - jnp.floor(z)
+    x = _unnormalize(coords[:, 0], W)
+    y = _unnormalize(coords[:, 1], H)
+    z = _unnormalize(coords[:, 2], D)
+    xs, wx0, wx1 = _axis_patch_weights(x, W)
+    ys, wy0, wy1 = _axis_patch_weights(y, H)
+    zs, wz0, wz1 = _axis_patch_weights(z, D)
 
-    out = None
-    for dz in (0, 1):
-        wz = wz1 if dz else (1.0 - wz1)
-        zi = z0 + dz
-        for dy in (0, 1):
-            wy = wy1 if dy else (1.0 - wy1)
-            yi = y0 + dy
-            for dx in (0, 1):
-                wx = wx1 if dx else (1.0 - wx1)
-                xi = x0 + dx
-                inb = (
-                    (xi >= 0) & (xi <= W - 1)
-                    & (yi >= 0) & (yi <= H - 1)
-                    & (zi >= 0) & (zi <= D - 1)
-                )
-                idx = (
-                    jnp.clip(zi, 0, D - 1) * (H * W)
-                    + jnp.clip(yi, 0, H - 1) * W
-                    + jnp.clip(xi, 0, W - 1)
-                )
-                w = wx * wy * wz * inb.astype(wx.dtype)
-                tap = jnp.take(flat, idx, axis=0) * w[..., None]
-                out = tap if out is None else out + tap
-    return out
+    starts = jnp.stack([zs, ys, xs], axis=-1)  # (N, 3)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2),
+    )
+    patch = jax.lax.gather(
+        volume,
+        starts,
+        dnums,
+        slice_sizes=(2, 2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (N, 2, 2, 2, C)
+
+    wz = jnp.stack([wz0, wz1], -1)  # (N, 2)
+    wy = jnp.stack([wy0, wy1], -1)
+    wx = jnp.stack([wx0, wx1], -1)
+    wgt = (wz[:, :, None, None] * wy[:, None, :, None] * wx[:, None, None, :]).reshape(
+        -1, 8
+    ).astype(volume.dtype)
+    out = jnp.einsum(
+        "npc,np->nc", patch.reshape(-1, 8, C), wgt,
+        preferred_element_type=jnp.float32,
+    ).astype(volume.dtype)
+    return out.reshape(*batch_shape, C)
 
 
 def grid_sample_2d_border(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:

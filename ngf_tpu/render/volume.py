@@ -56,6 +56,7 @@ class RenderConfig:
     ray_march_weight_thres: float = 1e-4
     white_bg: bool = True
     sample_cap: int = 0  # 0 = dense (no compaction)
+    rgb_cap: int = 0  # top-K samples by blend weight get shaded; 0 = all
 
     @property
     def aabb_array(self) -> jnp.ndarray:
@@ -154,12 +155,27 @@ def render_rays(
     alpha, weight, bg_weight = raw2alpha(sigma, dists * rcfg.distance_scale)
 
     # rgb only where the blend weight clears the threshold (`FieldBase.py:261-265`).
-    rgb_mask = (weight > rcfg.ray_march_weight_thres).astype(pts.dtype)
-    views = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3))
-    rgb = triplane_rgb(params, model_cfg, xy, yz, xz, views) * rgb_mask[..., None]
-
     acc_map = jnp.sum(weight, axis=-1)
-    rgb_map = jnp.sum(weight[..., None] * rgb, axis=-2)
+    if rcfg.rgb_cap and rcfg.rgb_cap < s:
+        # Shade only the top-K samples per ray by blend weight — a fixed-
+        # capacity version of the reference's weight>thres mask. Contributions
+        # outside the top-K are ones the reference would zero (sub-threshold)
+        # or that are numerically negligible.
+        k = rcfg.rgb_cap
+        top_w, top_idx = jax.lax.top_k(weight, k)  # (N, K)
+        gather = lambda a: jnp.take_along_axis(
+            a, top_idx[..., None] if a.ndim == 3 else top_idx, axis=1
+        )
+        xy_k, yz_k, xz_k = gather(xy), gather(yz), gather(xz)
+        rgb_mask = (top_w > rcfg.ray_march_weight_thres).astype(pts.dtype)
+        views = jnp.broadcast_to(viewdirs[:, None, :], (n, k, 3))
+        rgb_k = triplane_rgb(params, model_cfg, xy_k, yz_k, xz_k, views)
+        rgb_map = jnp.sum((top_w * rgb_mask)[..., None] * rgb_k, axis=-2)
+    else:
+        rgb_mask = (weight > rcfg.ray_march_weight_thres).astype(pts.dtype)
+        views = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3))
+        rgb = triplane_rgb(params, model_cfg, xy, yz, xz, views) * rgb_mask[..., None]
+        rgb_map = jnp.sum(weight[..., None] * rgb, axis=-2)
 
     if rcfg.white_bg:
         rgb_map = rgb_map + (1.0 - acc_map[..., None])

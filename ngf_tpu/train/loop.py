@@ -171,6 +171,7 @@ class TriPlaneTrainer:
             ray_march_weight_thres=self.args.rm_weight_mask_thre,
             white_bg=self.train_dataset.white_bg,
             sample_cap=self.args.sample_cap if sample_cap is None else sample_cap,
+            rgb_cap=self.args.rgb_cap,
         )
 
     def _build_step(self):

@@ -154,6 +154,20 @@ class TestRenderer:
             np.asarray(dense["depth_map"]), np.asarray(capped["depth_map"]), atol=2e-4
         )
 
+    def test_rgb_topk_matches_dense(self, setup):
+        params, cfg = setup
+        params = dict(params)
+        params["plane_xy"] = params["plane_xy"] + 3.0  # non-trivial density
+        rays = make_rays(16, seed=5)
+        dense = render_rays(params, cfg, small_rcfg(), rays, None, is_train=False)
+        capped = render_rays(
+            params, cfg, small_rcfg(rgb_cap=48), rays, None, is_train=False
+        )
+        # K=48 of 64 samples covers every above-threshold weight here.
+        np.testing.assert_allclose(
+            np.asarray(dense["rgb_map"]), np.asarray(capped["rgb_map"]), atol=3e-3
+        )
+
     def test_alpha_mask_culling(self, setup):
         params, cfg = setup
         rays = make_rays(8)
