@@ -114,6 +114,7 @@ class TrainArgs:
     rgb_cap: int = 0  # top-K shading capacity per ray; 0 = all samples
     plane_res: int = 256  # reference hard-codes 256 (Field.py:14/17)
     gauge_res: int = 256
+    compute_dtype: str = "float32"  # 'bfloat16' for half-byte gathers + MXU
     microbatch: int = 1  # gradient accumulation chunks per step (memory knob)
     steps_per_call: int = 64  # train steps fused into one device call (scan)
     alpha_grid_res: int = 256  # occupancy grid resolution (ref: main.py:324)

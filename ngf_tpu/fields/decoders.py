@@ -61,9 +61,12 @@ def init_linear(
 
 
 def apply_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    # Match the weight dtype so bf16 weights drive a bf16 MXU matmul with
+    # f32 accumulation; f32 weights keep strict f32 compute.
+    x = x.astype(p["w"].dtype)
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
-        y = y + p["b"]
+        y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
 
 

@@ -60,6 +60,10 @@ class TriPlaneConfig:
     density_shift: float = -10.0
     distance_scale: float = 25.0
     init_scale: float = 0.1
+    # 'bfloat16' halves plane-gather bytes and runs decoder matmuls on the
+    # MXU in bf16 (f32 accumulation); params stay f32 masters. 'float32' for
+    # strict parity.
+    compute_dtype: str = "float32"
 
     @property
     def rgb_dim(self) -> int:
@@ -182,9 +186,14 @@ def triplane_gauge(
 def _plane_feats(
     params: Params, cfg: TriPlaneConfig, xy, yz, xz, channels: slice
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    fxy = grid_sample_2d(params["plane_xy"][..., channels], xy)
-    fyz = grid_sample_2d(params["plane_yz"][..., channels], yz)
-    fxz = grid_sample_2d(params["plane_xz"][..., channels], xz)
+    dt = jnp.dtype(cfg.compute_dtype)
+
+    def sample(plane, c):
+        return grid_sample_2d(plane[..., channels].astype(dt), c.astype(dt))
+
+    fxy = sample(params["plane_xy"], xy)
+    fyz = sample(params["plane_yz"], yz)
+    fxz = sample(params["plane_xz"], xz)
     return fxy, fyz, fxz
 
 
@@ -211,10 +220,10 @@ def triplane_density(
         fxz = infoinv_modulate(fxz, xyz, cfg.density_pe)
     feat = jnp.concatenate([fxy, fyz, fxz], axis=-1)
     if cfg.variant == "gauge":
-        raw = apply_linear(params["density_decoder"], feat)[..., 0]
+        raw = apply_linear(_cast(params["density_decoder"], cfg), feat)[..., 0]
     else:
-        raw = apply_density_decoder(params["density_decoder"], feat)[..., 0]
-    return feature2density(raw, cfg.density_shift)
+        raw = apply_density_decoder(_cast(params["density_decoder"], cfg), feat)[..., 0]
+    return feature2density(raw.astype(jnp.float32), cfg.density_shift)
 
 
 def triplane_rgb(
@@ -230,7 +239,17 @@ def triplane_rgb(
         fyz = infoinv_modulate(fyz, xyz, cfg.rgb_pe)
         fxz = infoinv_modulate(fxz, xyz, cfg.rgb_pe)
     feat = jnp.concatenate([fxy, fyz, fxz], axis=-1)
-    return apply_rgb_decoder(params["rgb_decoder"], feat, viewdirs, cfg.view_pe)
+    rgb = apply_rgb_decoder(
+        _cast(params["rgb_decoder"], cfg), feat, viewdirs.astype(feat.dtype), cfg.view_pe
+    )
+    return rgb.astype(jnp.float32)
+
+
+def _cast(tree: Params, cfg: TriPlaneConfig) -> Params:
+    if cfg.compute_dtype == "float32":
+        return tree
+    dt = jnp.dtype(cfg.compute_dtype)
+    return jax.tree.map(lambda a: a.astype(dt), tree)
 
 
 def density_l1(params: Params) -> jnp.ndarray:

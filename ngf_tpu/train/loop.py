@@ -71,6 +71,7 @@ def model_config_from_args(args: TrainArgs) -> TriPlaneConfig:
             "distance_scale": args.distance_scale,
             "plane_res": args.plane_res,
             "gauge_res": args.gauge_res,
+            "compute_dtype": args.compute_dtype,
         }
     )
 

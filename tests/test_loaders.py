@@ -1,0 +1,191 @@
+"""Dataset loader tests against tiny generated fixtures on disk."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ngf_tpu.data import dataset_dict
+
+
+def write_png(path, arr):
+    import imageio.v2 as imageio
+
+    imageio.imwrite(path, arr)
+
+
+@pytest.fixture()
+def blender_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for split in ("train", "test"):
+        frames = []
+        for i in range(3):
+            theta = i * 2.0
+            c2w = np.eye(4)
+            c2w[:3, 3] = [np.sin(theta) * 4, 0.5, np.cos(theta) * 4]
+            frames.append(
+                {"file_path": f"./{split}/r_{i}", "transform_matrix": c2w.tolist()}
+            )
+            os.makedirs(tmp_path / split, exist_ok=True)
+            img = rng.integers(0, 255, (16, 16, 4), dtype=np.uint8)
+            write_png(tmp_path / split / f"r_{i}.png", img)
+        meta = {"camera_angle_x": 0.6911112070083618, "frames": frames}
+        with open(tmp_path / f"transforms_{split}.json", "w") as f:
+            json.dump(meta, f)
+    return str(tmp_path)
+
+
+class TestBlender:
+    def test_shapes_and_ray_norms(self, blender_dir):
+        ds = dataset_dict["blender"](blender_dir, split="train", downsample=50.0)
+        # 800/50 = 16
+        assert ds.img_wh == (16, 16)
+        assert ds.all_rays.shape == (3 * 16 * 16, 6)
+        assert ds.all_rgbs.shape == (3 * 16 * 16, 3)
+        norms = np.linalg.norm(ds.all_rays[:, 3:6], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)  # blender.py:52
+        assert ds.white_bg and ds.near_far == (2.0, 6.0)
+
+    def test_stacked_test_split(self, blender_dir):
+        ds = dataset_dict["blender"](blender_dir, split="test", downsample=50.0)
+        assert ds.is_stack
+        assert ds.all_rays.shape == (3, 16 * 16, 6)
+        assert ds.all_rgbs.shape == (3, 16, 16, 3)
+        assert ds.render_path.shape[0] == 40
+
+    def test_rgba_white_composite(self, tmp_path):
+        # A fully transparent pixel must become white (blender.py:80).
+        os.makedirs(tmp_path / "train", exist_ok=True)
+        img = np.zeros((16, 16, 4), np.uint8)
+        write_png(tmp_path / "train" / "r_0.png", img)
+        meta = {
+            "camera_angle_x": 0.69,
+            "frames": [{"file_path": "./train/r_0", "transform_matrix": np.eye(4).tolist()}],
+        }
+        with open(tmp_path / "transforms_train.json", "w") as f:
+            json.dump(meta, f)
+        ds = dataset_dict["blender"](str(tmp_path), split="train", downsample=50.0)
+        np.testing.assert_allclose(ds.all_rgbs, 1.0, atol=1e-6)
+
+
+@pytest.fixture()
+def nsvf_dir(tmp_path):
+    rng = np.random.default_rng(1)
+    np.savetxt(tmp_path / "bbox.txt", np.array([[-1, -1, -1, 1, 1, 1, 0.01]]))
+    with open(tmp_path / "intrinsics.txt", "w") as f:
+        f.write("555.0 400.0 400.0 0.\n0. 0. 0.\n")
+    os.makedirs(tmp_path / "pose")
+    os.makedirs(tmp_path / "rgb")
+    for prefix, n in (("0", 2), ("1", 1), ("2", 1)):
+        for i in range(n):
+            c2w = np.eye(4)
+            c2w[:3, 3] = [0, 0, 3 + i]
+            np.savetxt(tmp_path / "pose" / f"{prefix}_{i:03d}.txt", c2w)
+            img = rng.integers(0, 255, (8, 8, 4), dtype=np.uint8)
+            write_png(tmp_path / "rgb" / f"{prefix}_{i:03d}.png", img)
+    return str(tmp_path)
+
+
+class TestNSVF:
+    def test_splits_and_shapes(self, nsvf_dir):
+        ds = dataset_dict["nsvf"](nsvf_dir, split="train", downsample=100.0, wh=(800, 800))
+        assert ds.all_rays.shape == (2 * 8 * 8, 6)
+        np.testing.assert_allclose(
+            ds.scene_bbox, [[-1, -1, -1], [1, 1, 1]], atol=1e-6
+        )
+        ds_test = dataset_dict["nsvf"](nsvf_dir, split="test", downsample=100.0, wh=(800, 800))
+        assert ds_test.all_rays.shape[0] == 1  # 2_ prefix
+
+
+@pytest.fixture()
+def llff_dir(tmp_path):
+    rng = np.random.default_rng(2)
+    n = 9
+    poses = []
+    for i in range(n):
+        m = np.eye(4)[:3]
+        m[:, 3] = [0.1 * i, 0, 0.5]
+        # llff stores (down right back) conv + hwf column
+        hwf = np.array([[16.0], [16.0], [20.0]])
+        poses.append(np.concatenate([m, hwf], 1).reshape(-1))
+    bounds = np.tile(np.array([[1.0, 5.0]]), (n, 1))
+    pb = np.concatenate([np.stack(poses), bounds], 1)
+    np.save(tmp_path / "poses_bounds.npy", pb)
+    os.makedirs(tmp_path / "images_4")
+    for i in range(n):
+        write_png(
+            tmp_path / "images_4" / f"img_{i:03d}.png",
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8),
+        )
+    return str(tmp_path)
+
+
+class TestLLFF:
+    def test_ndc_and_split(self, llff_dir):
+        ds = dataset_dict["llff"](llff_dir, split="train", downsample=1.0)
+        # hold-every-8 from 9 images -> 7 train (indices not 0 or 8)
+        assert ds.n_images == 7
+        assert ds.near_far == (0.0, 1.0)
+        assert not ds.white_bg
+        # NDC z components bounded
+        assert np.isfinite(ds.all_rays).all()
+        ds_test = dataset_dict["llff"](llff_dir, split="test", downsample=1.0)
+        assert ds_test.all_rays.shape[0] == 2
+        assert ds_test.render_path.shape[0] == 120
+
+
+class TestOwnData:
+    def test_ngp_style_json(self, tmp_path):
+        rng = np.random.default_rng(3)
+        os.makedirs(tmp_path / "train")
+        frames = []
+        for i in range(2):
+            c2w = np.eye(4)
+            c2w[:3, 3] = [0, 0, 3]
+            frames.append({"file_path": f"./train/f_{i}", "transform_matrix": c2w.tolist()})
+            write_png(
+                tmp_path / "train" / f"f_{i}.png",
+                rng.integers(0, 255, (12, 10, 3), dtype=np.uint8),
+            )
+        meta = {
+            "w": 10, "h": 12, "cx": 5.0, "cy": 6.0,
+            "camera_angle_x": 0.7, "camera_angle_y": 0.8,
+            "frames": frames,
+        }
+        with open(tmp_path / "transforms_train.json", "w") as f:
+            json.dump(meta, f)
+        ds = dataset_dict["own_data"](str(tmp_path), split="train", downsample=1.0)
+        assert ds.img_wh == (10, 12)
+        assert ds.all_rays.shape == (2 * 120, 6)
+
+
+class TestDTUSampling:
+    def test_balanced_mode_targets(self):
+        from ngf_tpu.data.dtu import SyntheticDtuDataset
+
+        ds = SyntheticDtuDataset(
+            n_views=2, wh=(24, 24), random_sample="balanced",
+            random_sample_size=6, seed=0,
+        )
+        item = ds.get_item(0)
+        assert item["raydir"].shape == (1, 36, 3)
+        assert item["gt_image"].shape == (1, 36, 3)
+        assert item["transmittance"].shape == (1, 36)
+        # 2/3 foreground target 0, 1/3 background target 1 (dtu.py:198-223)
+        t = item["transmittance"][0]
+        assert (t[:24] == 0).all() and (t[24:] == 1).all()
+        np.testing.assert_allclose(
+            np.linalg.norm(item["raydir"][0], axis=-1), 1.0, atol=1e-3
+        )
+
+    def test_patch_and_no_crop_modes(self):
+        from ngf_tpu.data.dtu import SyntheticDtuDataset
+
+        for mode, n in (("patch", 16), ("random", 16), ("no_crop", 24 * 24)):
+            ds = SyntheticDtuDataset(
+                n_views=1, wh=(24, 24), random_sample=mode,
+                random_sample_size=4, seed=0,
+            )
+            item = ds.get_item(0)
+            assert item["raydir"].shape[1] == n
