@@ -80,10 +80,12 @@ def _patch_gather_2d(plane: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jn
 
 
 # Gather implementation selector: 'patch' fetches the whole 2x2 stencil with
-# one gather descriptor per point (fewer indices); 'rows' issues four
-# clamped row gathers (the conservative path). Switchable at runtime because
-# backend gather support/perf differs.
-_GATHER_IMPL = os.environ.get("NGF_GATHER_IMPL", "patch")
+# one gather descriptor per point, 'pairs' one descriptor per stencil row,
+# 'rows' four plain row gathers. All three are parity-tested; 'rows' is the
+# default because the multi-element-slice gathers ('patch'/'pairs') hit
+# compiler/runtime faults on the axon TPU backend (observed: worker crash /
+# compile hang), while they are fine on CPU.
+_GATHER_IMPL = os.environ.get("NGF_GATHER_IMPL", "rows")
 
 
 def set_gather_impl(name: str) -> None:

@@ -454,7 +454,10 @@ class TriPlaneTrainer:
                     progress_cb(self.iteration, mses_accum[-1] if mses_accum else None)
 
             it = self.iteration
-            if args.N_vis != 0 and args.vis_every > 0 and (it % args.vis_every == args.vis_every - 1 or (it + 1) % args.vis_every == 0) and self.test_dataset is not None and self.logfolder:
+            # Eval fires when the loop lands on a vis boundary (the reference
+            # evaluates when iteration % vis_every == vis_every-1,
+            # `InfoInv/main.py:313`; our block loop stops at that boundary).
+            if args.N_vis != 0 and args.vis_every > 0 and it % args.vis_every == args.vis_every - 1 and self.test_dataset is not None and self.logfolder:
                 fn = self.make_eval_render_fn(iteration=it)
                 psnrs_test = evaluation(
                     self.test_dataset, fn,

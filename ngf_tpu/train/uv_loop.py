@@ -183,22 +183,9 @@ class UVTrainer:
         pix = np.stack([px, py], -1)
         raydir = get_rays_dir(pix, focal, rot, princpt).reshape(-1, 3).astype(np.float32)
 
-        cfg = self.cfg
-        params = self.params
         edit = None if edit_texture is None else jnp.asarray(edit_texture)
-
-        @jax.jit
-        def render(raydir_chunk):
-            out = neutex_forward(
-                params, cfg, jax.random.PRNGKey(0),
-                jnp.asarray(campos[None].astype(np.float32)),
-                raydir_chunk[None],
-                jnp.zeros((1, 3)),
-                edit_texture=edit,
-                edit_mode=edit_mode,
-                jitter=0.0,
-            )
-            return out["color"][0], out["transmittance"][0]
+        render = self._get_render_fn(chunk, edit is not None, edit_mode)
+        campos_j = jnp.asarray(campos[None].astype(np.float32))
 
         rgbs, trans = [], []
         n = raydir.shape[0]
@@ -207,7 +194,10 @@ class UVTrainer:
             pad = chunk - part.shape[0]
             if pad:
                 part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
-            c, t = render(jnp.asarray(part))
+            if edit is not None:
+                c, t = render(self.params, campos_j, jnp.asarray(part), edit)
+            else:
+                c, t = render(self.params, campos_j, jnp.asarray(part))
             c, t = np.asarray(c), np.asarray(t)
             if pad:
                 c, t = c[:-pad], t[:-pad]
@@ -217,6 +207,36 @@ class UVTrainer:
             np.concatenate(rgbs).reshape(height, width, 3),
             np.concatenate(trans).reshape(height, width),
         )
+
+    def _get_render_fn(self, chunk: int, has_edit: bool, edit_mode: int):
+        """Cache compiled chunk renderers (params passed as an argument so a
+        single compilation serves every view/checkpoint)."""
+        if not hasattr(self, "_render_cache"):
+            self._render_cache = {}
+        key = (chunk, has_edit, edit_mode)
+        if key not in self._render_cache:
+            cfg = self.cfg
+
+            if has_edit:
+                @jax.jit
+                def render(params, campos, raydir_chunk, edit):
+                    out = neutex_forward(
+                        params, cfg, jax.random.PRNGKey(0), campos,
+                        raydir_chunk[None], jnp.zeros((1, 3)),
+                        edit_texture=edit, edit_mode=edit_mode, jitter=0.0,
+                    )
+                    return out["color"][0], out["transmittance"][0]
+            else:
+                @jax.jit
+                def render(params, campos, raydir_chunk):
+                    out = neutex_forward(
+                        params, cfg, jax.random.PRNGKey(0), campos,
+                        raydir_chunk[None], jnp.zeros((1, 3)), jitter=0.0,
+                    )
+                    return out["color"][0], out["transmittance"][0]
+
+            self._render_cache[key] = render
+        return self._render_cache[key]
 
     # ----------------------------------------------------------- checkpoints
 

@@ -1,0 +1,85 @@
+"""CLI end-to-end tests: main.py train/render-only round trip on the
+synthetic dataset, config-file parsing precedence."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ngf_tpu.config import config_parser, parse_config_file
+
+
+class TestConfig:
+    def test_config_file_and_cli_precedence(self, tmp_path):
+        cfg = tmp_path / "exp.txt"
+        cfg.write_text(
+            "subsystem = triplane\n"
+            "n_iters = 1234  # comment\n"
+            "upsamp_list = [2000, 2500]\n"
+            "gauge_start = 4000\n"
+            "expname = TriPlane/lego\n"
+        )
+        args = config_parser(["--config", str(cfg)])
+        assert args.subsystem == "triplane"
+        assert args.n_iters == 1234
+        assert args.upsamp_list == [2000, 2500]
+        assert args.gauge_start == 4000
+        # CLI overrides file
+        args2 = config_parser(["--config", str(cfg), "--n_iters", "99"])
+        assert args2.n_iters == 99
+
+    def test_reference_config_files_parse(self):
+        for f in ("configs/lego_infoinv.txt", "configs/lego_triplane.txt"):
+            vals = parse_config_file(f)
+            assert vals["n_iters"] == 30000
+            assert vals["batch_size"] == 4096
+            assert vals["update_AlphaMask_list"] == [2000, 2500]
+
+    def test_unknown_key_rejected(self, tmp_path):
+        cfg = tmp_path / "bad.txt"
+        cfg.write_text("not_a_real_option = 1\n")
+        with pytest.raises(ValueError):
+            config_parser(["--config", str(cfg)])
+
+
+class TestMainCLI:
+    def test_train_then_render_only(self, tmp_path):
+        import main as cli
+
+        basedir = str(tmp_path / "log")
+        common = [
+            "--dataset_name", "synthetic",
+            "--basedir", basedir,
+            "--expname", "smoke",
+            "--n_iters", "48",
+            "--batch_size", "256",
+            "--nSamples", "64",
+            "--plane_res", "32",
+            "--gauge_res", "32",
+            "--alpha_grid_res", "32",
+            "--N_vis", "0",
+            "--vis_every", "0",
+            "--save_every", "0",
+            "--eval_chunk", "512",
+            "--compute_extra_metrics", "0",
+            "--seed", "0",
+        ]
+        cli.main(common + ["--render_test", "1"])
+        logdir = os.path.join(basedir, "smoke")
+        assert os.path.exists(os.path.join(logdir, "model.npz"))
+        assert os.path.exists(os.path.join(logdir, "imgs_test_all", "mean.txt"))
+        mean = np.loadtxt(os.path.join(logdir, "imgs_test_all", "mean.txt"))
+        psnr = float(np.atleast_1d(mean)[0])
+        assert psnr > 8.0, f"smoke-train psnr too low: {psnr}"
+
+        # render-only from the checkpoint (`InfoInv/main.py:22-58` flow)
+        cli.main(
+            common
+            + [
+                "--render_only", "1",
+                "--render_test", "1",
+                "--ckpt", os.path.join(logdir, "model.npz"),
+            ]
+        )
+        out = os.path.join(logdir, "smoke", "imgs_test_all", "mean.txt")
+        assert os.path.exists(out)
