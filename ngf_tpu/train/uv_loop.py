@@ -75,17 +75,14 @@ class UVTrainer:
         self.params = init_neutex(init_key, cfg)
         self.step_count = 0
 
-        frozen = set(freeze or [])
-        label_tree = {
-            name: ("frozen" if friendly in frozen else "train")
-            for friendly, name in SUBNETWORKS.items()
-            for name in [name]
-        }
-        # map top-level param keys to labels
-        labels = {k: label_tree.get(k, "train") for k in self.params}
+        # Per-subnetwork freeze -> optax.multi_transform labels
+        # (`BaseModel.freeze_subnetworks`, `model.py:153-156`).
+        frozen_params = {SUBNETWORKS[f] for f in (freeze or [])}
         labels = {
-            k: jax.tree.map(lambda _: lab, self.params[k])
-            for k, lab in labels.items()
+            k: jax.tree.map(
+                lambda _: "frozen" if k in frozen_params else "train", sub
+            )
+            for k, sub in self.params.items()
         }
 
         schedule = partial(lambda_lr, niter=niter, niter_decay=niter_decay)

@@ -213,6 +213,24 @@ class TestUVTraining:
         cross = merge_cube_to_single_texture(faces)
         assert cross.shape == (24, 32, 3)
 
+    def test_freeze_subnetwork(self, dataset):
+        cfg = NeuTexConfig(
+            primitive_type="square", sample_num=8, points_per_primitive=64,
+            geo_layers=1, tex_layers1=1, tex_layers2=1, tex_width=32,
+            geo_hidden=32, inverse_hidden=32,
+        )
+        trainer = UVTrainer(cfg, dataset, lr=1e-3, freeze=["gauge"], seed=0)
+        g_before = np.asarray(trainer.params["gauge_network"]["layers"][0]["w"]).copy()
+        t_before = np.asarray(trainer.params["net_texture"]["color1"]["w"]).copy()
+        for _ in range(3):
+            trainer.train_step(dataset.sample())
+        np.testing.assert_array_equal(
+            g_before, np.asarray(trainer.params["gauge_network"]["layers"][0]["w"])
+        )
+        assert not np.array_equal(
+            t_before, np.asarray(trainer.params["net_texture"]["color1"]["w"])
+        )
+
     def test_subnetwork_checkpoint_roundtrip(self, dataset, tmp_path):
         cfg = NeuTexConfig(
             primitive_type="square", sample_num=8, points_per_primitive=64,
