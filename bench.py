@@ -14,9 +14,17 @@ comparison point is the documented assumption REF_RAYS_PER_SEC below — a
 TensoRF-class PyTorch repo at batch 4096 runs ~25-30 it/s on a modern GPU
 (~120k rays/s). The driver's north-star target is 5x that on TPU.
 
+Two stages (NGF_BENCH_STAGE):
+- "open"   — iterations before the alpha mask exists (iters 0-2000 in the
+  reference schedule): every in-bbox sample is evaluated.
+- "masked" (default) — the dominant regime (iters 2000-30000,
+  `InfoInv/main.py:320-332`): an occupancy grid culls empty space. The bench
+  builds the grid analytically from the synthetic scene, mirroring what
+  `updateAlphaMask` would produce for it.
+
 Knobs via env: NGF_BENCH_STEPS_PER_CALL, NGF_BENCH_BLOCKS, NGF_GATHER_IMPL
-(patch|pairs|rows), NGF_BENCH_DTYPE (float32|bfloat16), NGF_BENCH_CAP,
-NGF_BENCH_RGB_CAP, NGF_BENCH_MICRO.
+(blocks|patch|pairs|rows), NGF_BENCH_DTYPE (float32|bfloat16),
+NGF_BENCH_CAP, NGF_BENCH_RGB_CAP, NGF_BENCH_MICRO.
 """
 
 from __future__ import annotations
@@ -33,6 +41,28 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _analytic_alpha_grid(trainer, res: int = 128):
+    """Occupancy grid for the synthetic scene, computed host-side — the
+    fixed point `updateAlphaMask` would converge to (occupied where the
+    analytic density is non-negligible, dilated like the reference's 3x3x3
+    max-pool, stored z-major)."""
+    import numpy as np
+    import scipy.ndimage
+    import jax.numpy as jnp
+
+    from ngf_tpu.data.synthetic import _field
+    from ngf_tpu.train.occupancy import AlphaGrid
+
+    aabb = trainer.aabb
+    lin = [np.linspace(aabb[0][i], aabb[1][i], res, dtype=np.float32) for i in range(3)]
+    pts = np.stack(np.meshgrid(*lin, indexing="ij"), axis=-1)  # (x, y, z, 3)
+    density, _ = _field(pts.reshape(-1, 3))
+    occ = (density.reshape(res, res, res) > 1.0).astype(np.float32)
+    occ = scipy.ndimage.maximum_filter(occ, size=3)
+    occ_zyx = np.ascontiguousarray(occ.transpose(2, 1, 0))
+    return AlphaGrid(volume=jnp.asarray(occ_zyx), aabb=jnp.asarray(aabb))
+
+
 def main() -> None:
     import numpy as np
 
@@ -44,10 +74,16 @@ def main() -> None:
     from ngf_tpu.train.loop import TriPlaneTrainer
     from ngf_tpu.utils.grid import cal_n_samples
 
-    impl = os.environ.get("NGF_GATHER_IMPL", "pairs")
+    impl = os.environ.get("NGF_GATHER_IMPL", "blocks")
     set_gather_impl(impl)
-    steps_per_call = int(os.environ.get("NGF_BENCH_STEPS_PER_CALL", "32"))
-    n_blocks = int(os.environ.get("NGF_BENCH_BLOCKS", "4"))
+    steps_per_call = int(os.environ.get("NGF_BENCH_STEPS_PER_CALL", "16"))
+    n_blocks = int(os.environ.get("NGF_BENCH_BLOCKS", "3"))
+    stage = os.environ.get("NGF_BENCH_STAGE", "masked")
+
+    if stage == "masked":
+        default_cap, default_rgb = "160", "32"
+    else:
+        default_cap, default_rgb = "512", "64"
 
     n_samples = cal_n_samples([256, 256, 256], 0.5)  # 886, the lego workload
     args = TrainArgs(
@@ -64,18 +100,22 @@ def main() -> None:
         update_AlphaMask_list=[],
         seed=20211202,
         microbatch=int(os.environ.get("NGF_BENCH_MICRO", "4")),
-        sample_cap=int(os.environ.get("NGF_BENCH_CAP", "512")),
-        rgb_cap=int(os.environ.get("NGF_BENCH_RGB_CAP", "64")),
+        sample_cap=int(os.environ.get("NGF_BENCH_CAP", default_cap)),
+        rgb_cap=int(os.environ.get("NGF_BENCH_RGB_CAP", default_rgb)),
         steps_per_call=steps_per_call,
-        compute_dtype=os.environ.get("NGF_BENCH_DTYPE", "bfloat16"),
+        compute_dtype=os.environ.get("NGF_BENCH_DTYPE", "float32"),
         filter_rays=0,  # avoid an extra device compile; synthetic rays all hit
+        mask_stride=int(os.environ.get("NGF_BENCH_MASK_STRIDE", "4")),
     )
 
     t0 = time.time()
     train_ds = make_synthetic_dataset("train", n_views=4, wh=(128, 128))
     log(f"[{time.time()-t0:5.1f}s] dataset ready")
     trainer = TriPlaneTrainer(args, train_ds, None, None)
-    log(f"[{time.time()-t0:5.1f}s] trainer built (impl={impl}, "
+    if stage == "masked":
+        trainer.alpha = _analytic_alpha_grid(trainer)
+        trainer._build_step()
+    log(f"[{time.time()-t0:5.1f}s] trainer built (stage={stage}, impl={impl}, "
         f"dtype={args.compute_dtype}, cap={args.sample_cap}, rgb={args.rgb_cap})")
 
     mses = trainer.train_block(steps_per_call)  # compile + first block

@@ -112,6 +112,7 @@ class TrainArgs:
     seed: int = 20211202
     sample_cap: int = 0  # fixed-capacity sample compaction; 0 = dense
     rgb_cap: int = 0  # top-K shading capacity per ray; 0 = all samples
+    mask_stride: int = 1  # occupancy lookup every K-th sample (see RenderConfig)
     plane_res: int = 256  # reference hard-codes 256 (Field.py:14/17)
     gauge_res: int = 256
     compute_dtype: str = "float32"  # 'bfloat16' for half-byte gathers + MXU

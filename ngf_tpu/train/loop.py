@@ -174,6 +174,7 @@ class TriPlaneTrainer:
             white_bg=self.train_dataset.white_bg,
             sample_cap=self.args.sample_cap if sample_cap is None else sample_cap,
             rgb_cap=self.args.rgb_cap,
+            mask_stride=self.args.mask_stride,
         )
 
     def _build_step(self):

@@ -179,3 +179,25 @@ class TestRenderer:
         # all samples culled -> empty -> pure white bg, zero acc
         np.testing.assert_allclose(np.asarray(out["acc_map"]), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out["rgb_map"]), 1.0, atol=1e-6)
+
+    def test_gather_impls_agree_on_full_render(self, setup):
+        from ngf_tpu.ops import grid_sample as gs
+
+        params, cfg = setup
+        params = dict(params)
+        params["plane_xz"] = params["plane_xz"] + 3.0
+        rays = make_rays(12, seed=9)
+        vol = jnp.ones((16, 16, 16))  # permissive mask, exercises 3D lookup
+        outs = {}
+        for impl in ("rows", "blocks"):
+            gs.set_gather_impl(impl)
+            outs[impl] = render_rays(
+                params, cfg, small_rcfg(sample_cap=48, rgb_cap=24), rays, None,
+                is_train=False, alpha_volume=vol, alpha_aabb=jnp.asarray(AABB),
+            )
+        gs.set_gather_impl("rows")
+        np.testing.assert_allclose(
+            np.asarray(outs["rows"]["rgb_map"]),
+            np.asarray(outs["blocks"]["rgb_map"]),
+            atol=1e-5,
+        )
