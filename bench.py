@@ -60,7 +60,7 @@ def _analytic_alpha_grid(trainer, res: int = 128):
     occ = (density.reshape(res, res, res) > 1.0).astype(np.float32)
     occ = scipy.ndimage.maximum_filter(occ, size=3)
     occ_zyx = np.ascontiguousarray(occ.transpose(2, 1, 0))
-    return AlphaGrid(volume=jnp.asarray(occ_zyx), aabb=jnp.asarray(aabb))
+    return AlphaGrid(volume=jnp.asarray(occ_zyx), aabb=jnp.asarray(aabb)).build_table()
 
 
 def main() -> None:
@@ -76,7 +76,9 @@ def main() -> None:
 
     impl = os.environ.get("NGF_GATHER_IMPL", "blocks")
     set_gather_impl(impl)
-    steps_per_call = int(os.environ.get("NGF_BENCH_STEPS_PER_CALL", "16"))
+    # 4 steps/call: the compiled graph stays small enough for the remote XLA
+    # service while amortizing the ~30ms dispatch round-trip.
+    steps_per_call = int(os.environ.get("NGF_BENCH_STEPS_PER_CALL", "4"))
     n_blocks = int(os.environ.get("NGF_BENCH_BLOCKS", "3"))
     stage = os.environ.get("NGF_BENCH_STAGE", "masked")
 

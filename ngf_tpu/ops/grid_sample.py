@@ -315,42 +315,47 @@ def grid_sample_3d(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     Returns:
       (..., C).
     """
+    # Conservative 8-tap row-gather formulation: multi-element-slice
+    # lax.gather intermediates get lane-padded to (2,128) tiles on TPU (a
+    # (N,2,2,2,1) patch inflates 128x and OOMs); the fast path for repeated
+    # lookups is make_block_table_3d + grid_sample_3d_blocks instead.
     D, H, W, C = volume.shape
-    batch_shape = coords.shape[:-1]
-    coords = coords.reshape(-1, 3)
+    flat = volume.reshape(D * H * W, C)
 
-    x = _unnormalize(coords[:, 0], W)
-    y = _unnormalize(coords[:, 1], H)
-    z = _unnormalize(coords[:, 2], D)
-    xs, wx0, wx1 = _axis_patch_weights(x, W)
-    ys, wy0, wy1 = _axis_patch_weights(y, H)
-    zs, wz0, wz1 = _axis_patch_weights(z, D)
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+    z = _unnormalize(coords[..., 2], D)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    wx1 = x - jnp.floor(x)
+    wy1 = y - jnp.floor(y)
+    wz1 = z - jnp.floor(z)
 
-    starts = jnp.stack([zs, ys, xs], axis=-1)  # (N, 3)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1, 2),
-    )
-    patch = jax.lax.gather(
-        volume,
-        starts,
-        dnums,
-        slice_sizes=(2, 2, 2, C),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (N, 2, 2, 2, C)
-
-    wz = jnp.stack([wz0, wz1], -1)  # (N, 2)
-    wy = jnp.stack([wy0, wy1], -1)
-    wx = jnp.stack([wx0, wx1], -1)
-    wgt = (wz[:, :, None, None] * wy[:, None, :, None] * wx[:, None, None, :]).reshape(
-        -1, 8
-    ).astype(volume.dtype)
-    out = jnp.einsum(
-        "npc,np->nc", patch.reshape(-1, 8, C), wgt,
-        preferred_element_type=jnp.float32,
-    ).astype(volume.dtype)
-    return out.reshape(*batch_shape, C)
+    out = None
+    for dz in (0, 1):
+        wz = wz1 if dz else (1.0 - wz1)
+        zi = z0 + dz
+        for dy in (0, 1):
+            wy = wy1 if dy else (1.0 - wy1)
+            yi = y0 + dy
+            for dx in (0, 1):
+                wx = wx1 if dx else (1.0 - wx1)
+                xi = x0 + dx
+                inb = (
+                    (xi >= 0) & (xi <= W - 1)
+                    & (yi >= 0) & (yi <= H - 1)
+                    & (zi >= 0) & (zi <= D - 1)
+                )
+                idx = (
+                    jnp.clip(zi, 0, D - 1) * (H * W)
+                    + jnp.clip(yi, 0, H - 1) * W
+                    + jnp.clip(xi, 0, W - 1)
+                )
+                w = wx * wy * wz * inb.astype(wx.dtype)
+                tap = jnp.take(flat, idx, axis=0) * w[..., None]
+                out = tap if out is None else out + tap
+    return out
 
 
 def grid_sample_2d_border(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:

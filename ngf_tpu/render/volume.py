@@ -39,14 +39,18 @@ from ..ops.grid_sample import grid_sample_3d
 from ..ops.rays import stratified_sample
 
 
-def _sample_alpha_volume(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear occupancy lookup; with the 'blocks' gather impl the 8-tap
-    stencil is one gather from a parity-shifted block table (the table build
-    is loop-invariant and hoisted by XLA when the volume is constant across
-    a compiled stage)."""
+def _sample_alpha_volume(
+    volume: jnp.ndarray, coords: jnp.ndarray, table: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Trilinear occupancy lookup. With a prebuilt parity-shifted block
+    table (built once at mask creation, `AlphaGrid.table`) the 8-tap stencil
+    is ONE gather per point."""
+    if table is not None:
+        out = _gs.grid_sample_3d_blocks(table, volume.shape + (1,), coords)[..., 0]
+        return out.astype(jnp.float32)
     if _gs._GATHER_IMPL == "blocks":
-        table = _gs.make_block_table_3d(volume[..., None])
-        return _gs.grid_sample_3d_blocks(table, volume.shape + (1,), coords)[..., 0]
+        tbl = _gs.make_block_table_3d(volume[..., None])
+        return _gs.grid_sample_3d_blocks(tbl, volume.shape + (1,), coords)[..., 0]
     return grid_sample_3d(volume[..., None], coords)[..., 0]
 
 
@@ -114,6 +118,7 @@ def render_rays(
     iteration: jnp.ndarray | int = 0,
     alpha_volume: jnp.ndarray | None = None,
     alpha_aabb: jnp.ndarray | None = None,
+    alpha_table: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Render a chunk of rays.
 
@@ -153,10 +158,14 @@ def render_rays(
         stride = max(1, rcfg.mask_stride)
         if stride > 1:
             sub = pts[:, ::stride]
-            a_sub = _sample_alpha_volume(alpha_volume, normalize_coord(sub, a_aabb))
+            a_sub = _sample_alpha_volume(
+                alpha_volume, normalize_coord(sub, a_aabb), alpha_table
+            )
             alphas = jnp.repeat(a_sub, stride, axis=1)[:, : pts.shape[1]]
         else:
-            alphas = _sample_alpha_volume(alpha_volume, normalize_coord(pts, a_aabb))
+            alphas = _sample_alpha_volume(
+                alpha_volume, normalize_coord(pts, a_aabb), alpha_table
+            )
         valid = valid & (alphas > 0)
 
     if rcfg.sample_cap and rcfg.sample_cap < rcfg.n_samples:

@@ -189,11 +189,11 @@ class TriPlaneTrainer:
         tv_app = float(self.args.TV_weight_app)
         density_dim = model_cfg.density_dim
 
-        def loss_fn(p, rays, rgbs, key, iteration, l1_w, vol, vaabb):
+        def loss_fn(p, rays, rgbs, key, iteration, l1_w, vol, vaabb, vtable):
             out = render_rays(
                 p, model_cfg, rcfg, rays, key,
                 is_train=True, iteration=iteration,
-                alpha_volume=vol, alpha_aabb=vaabb,
+                alpha_volume=vol, alpha_aabb=vaabb, alpha_table=vtable,
             )
             mse = jnp.mean((out["rgb_map"] - rgbs) ** 2)
             loss = mse + l1_w * density_l1(p)
@@ -218,11 +218,11 @@ class TriPlaneTrainer:
 
         def one_step(carry, batch):
             params, opt_state = carry
-            rays, rgbs, key, iteration, l1_w, vol, vaabb = batch
+            rays, rgbs, key, iteration, l1_w, vol, vaabb, vtable = batch
 
             if micro <= 1:
                 (_, mse), grads = grad_fn(
-                    params, rays, rgbs, key, iteration, l1_w, vol, vaabb
+                    params, rays, rgbs, key, iteration, l1_w, vol, vaabb, vtable
                 )
             else:
                 # Gradient accumulation over ray microbatches bounds activation
@@ -237,7 +237,7 @@ class TriPlaneTrainer:
                     g_acc, mse_acc = acc
                     r, g, k = xs
                     (_, mse_i), grads_i = grad_fn(
-                        params, r, g, k, iteration, l1_w, vol, vaabb
+                        params, r, g, k, iteration, l1_w, vol, vaabb, vtable
                     )
                     g_acc = jax.tree.map(lambda a, b: a + b, g_acc, grads_i)
                     return (g_acc, mse_acc + mse_i), None
@@ -255,11 +255,12 @@ class TriPlaneTrainer:
 
         if has_alpha:
             vol_c, vaabb_c = self.alpha.volume, self.alpha.aabb
+            table_c = self.alpha.table
 
             def block(params, opt_state, rays, rgbs, keys, iterations, l1_w):
                 def body(carry, xs):
                     r, g, k, it = xs
-                    return one_step(carry, (r, g, k, it, l1_w, vol_c, vaabb_c))
+                    return one_step(carry, (r, g, k, it, l1_w, vol_c, vaabb_c, table_c))
 
                 (params, opt_state), mses = jax.lax.scan(
                     body, (params, opt_state), (rays, rgbs, keys, iterations)
@@ -270,7 +271,7 @@ class TriPlaneTrainer:
             def block(params, opt_state, rays, rgbs, keys, iterations, l1_w):
                 def body(carry, xs):
                     r, g, k, it = xs
-                    return one_step(carry, (r, g, k, it, l1_w, None, None))
+                    return one_step(carry, (r, g, k, it, l1_w, None, None, None))
 
                 (params, opt_state), mses = jax.lax.scan(
                     body, (params, opt_state), (rays, rgbs, keys, iterations)
@@ -294,24 +295,48 @@ class TriPlaneTrainer:
             self._step = jax.jit(block, donate_argnums=(0, 1))
 
     def make_eval_render_fn(self, iteration: int | None = None):
-        """Compiled chunk renderer for evaluation at the current stage."""
+        """Compiled chunk renderer for the current stage.
+
+        Jitted functions are cached per stage (render config + mask
+        presence) with params/iteration as arguments, so periodic evals
+        during training reuse one compilation (fresh compiles cost minutes
+        on the remote-compile TPU backend).
+        """
         model_cfg = self.model_cfg
         rcfg = self._render_cfg()
-        it = self.args.n_iters + 1 if iteration is None else iteration
         alpha = self.alpha
+        cache_key = (rcfg, alpha is not None)
+        if not hasattr(self, "_eval_render_cache"):
+            self._eval_render_cache = {}
+        if cache_key not in self._eval_render_cache:
+            if alpha is not None:
 
-        @jax.jit
-        def render(params, rays):
-            out = render_rays(
-                params, model_cfg, rcfg, rays, None,
-                is_train=False, iteration=it,
-                alpha_volume=None if alpha is None else alpha.volume,
-                alpha_aabb=None if alpha is None else alpha.aabb,
-            )
-            return out["rgb_map"], out["depth_map"]
+                @jax.jit
+                def render(params, rays, it, vol, vaabb, vtable):
+                    out = render_rays(
+                        params, model_cfg, rcfg, rays, None,
+                        is_train=False, iteration=it,
+                        alpha_volume=vol, alpha_aabb=vaabb, alpha_table=vtable,
+                    )
+                    return out["rgb_map"], out["depth_map"]
+            else:
 
+                @jax.jit
+                def render(params, rays, it):
+                    out = render_rays(
+                        params, model_cfg, rcfg, rays, None,
+                        is_train=False, iteration=it,
+                    )
+                    return out["rgb_map"], out["depth_map"]
+            self._eval_render_cache[cache_key] = render
+        render = self._eval_render_cache[cache_key]
+
+        it = jnp.int32(self.args.n_iters + 1 if iteration is None else iteration)
         params = self.params
-        return lambda rays: render(params, rays)
+        if alpha is not None:
+            vol, vaabb, vtable = alpha.volume, alpha.aabb, alpha.table
+            return lambda rays: render(params, rays, it, vol, vaabb, vtable)
+        return lambda rays: render(params, rays, it)
 
     # ------------------------------------------------------------------ events
 
