@@ -147,6 +147,75 @@ def cube_ray_generation(
     return raypos, segment_length, valid, mid_ts
 
 
+def cube_ray_generation_with_end(
+    key: jax.Array | None,
+    campos: jnp.ndarray,
+    raydir: jnp.ndarray,
+    end: jnp.ndarray,
+    point_count: int,
+    domain_size: float = 1.0,
+    jitter: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cube ray generation bounded by per-ray end points
+    (`UV-Mapping/model/renderer.py:271-345`): like
+    :func:`cube_ray_generation` but samples past the end surface are marked
+    invalid (used for depth-supervised rendering).
+
+    Args:
+      end: (B, R, 3) end positions per ray.
+    """
+    raypos, segment_length, valid, mid_ts = cube_ray_generation(
+        key, campos, raydir, point_count, domain_size, jitter
+    )
+    # Zero direction components contribute no constraint (the reference's
+    # raw division would yield NaN there and invalidate the whole ray).
+    ratio = jnp.where(
+        jnp.abs(raydir) < 1e-12,
+        jnp.inf,
+        (end - campos[:, None, :]) / jnp.where(raydir == 0, 1.0, raydir),
+    )
+    t_end = jnp.min(ratio, axis=-1)  # (B, R)
+    valid = valid & (mid_ts < t_end[:, :, None])
+    return raypos, segment_length, valid, mid_ts
+
+
+def refine_cube_ray_generation(
+    key: jax.Array | None,
+    campos: jnp.ndarray,
+    raydir: jnp.ndarray,
+    point_count: int,
+    prev_ts: jnp.ndarray,
+    prev_weights: jnp.ndarray,
+    domain_size: float = 1.0,
+    det: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Importance-refined cube sampling (`UV-Mapping/model/renderer.py:
+    144-173` + its numpy `sample_pdf`, here in JAX): draw new segment
+    endpoints from the inverse CDF of previous blend weights, then sample
+    segment midpoints.
+
+    Args:
+      prev_ts: (B, R, S0) previous sample positions.
+      prev_weights: (B, R, S0) previous blend weights.
+
+    Returns:
+      raypos (B, R, S), segment_length (B, R, S), valid (B, R, S), mid_ts.
+    """
+    # Reference preprocessing (`renderer.py:33-45`): bins = midpoints of
+    # prev_ts (S0-1), weights trimmed to the interior (S0-2).
+    bins = 0.5 * (prev_ts[..., 1:] + prev_ts[..., :-1])
+    weights = prev_weights[..., 1:-1]
+    new_ts = sample_pdf(key, bins, weights, point_count + 1, det=det)
+    end_ts = jnp.sort(
+        jnp.concatenate([new_ts, jax.lax.stop_gradient(prev_ts)], axis=-1), axis=-1
+    )[..., : point_count + 1]
+    segment_length = end_ts[..., 1:] - end_ts[..., :-1]
+    mid_ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])
+    raypos = campos[:, None, None, :] + raydir[:, :, None, :] * mid_ts[..., None]
+    valid = jnp.all((raypos > -domain_size) & (raypos < domain_size), axis=-1)
+    return raypos, segment_length, valid, mid_ts
+
+
 def sample_pdf(
     key: jax.Array | None,
     bins: jnp.ndarray,
