@@ -12,8 +12,14 @@ the 256x256x24 f32 density plane is 6.3MB; the 72-channel rgb plane in bf16
 is 9.4MB). Larger planes fall back to the XLA path.
 
 Status: correctness-tested in interpreter mode everywhere; guarded behind
-``pallas_available()`` for compiled use because Mosaic gather support varies
-by backend/jax version.
+``pallas_supported()`` for compiled use because Mosaic gather support varies
+by backend/jax version. Probed on the axon v5e backend (2026-08-16):
+``jnp.take`` inside a kernel fails shape validation ("Shape mismatch in
+input, indices and output" — Mosaic's dynamic_gather wants indices shaped
+like the table), and the shape-conforming ``take_along_axis`` form dies in
+the remote Mosaic compile (HTTP 500). The XLA 'blocks' formulation in
+grid_sample.py is the production fast path; revisit when Mosaic gather
+lands in a newer libtpu.
 """
 
 from __future__ import annotations
