@@ -213,6 +213,28 @@ class TestUVTraining:
         cross = merge_cube_to_single_texture(faces)
         assert cross.shape == (24, 32, 3)
 
+    def test_sphere_primitive_training(self, dataset):
+        cfg = NeuTexConfig(
+            primitive_type="sphere", sample_num=16, points_per_primitive=64,
+            geo_layers=1, tex_layers1=1, tex_layers2=1, tex_width=32,
+            geo_hidden=32, inverse_hidden=32,
+        )
+        trainer = UVTrainer(cfg, dataset, lr=5e-4, seed=0)
+        losses = [trainer.train_step(dataset.sample())["total"] for _ in range(6)]
+        assert all(np.isfinite(losses))
+        # sphere gauge output is unit-norm 3D uv
+        import jax
+        from ngf_tpu.fields.neutex import neutex_forward
+
+        out = neutex_forward(
+            trainer.params, cfg, jax.random.PRNGKey(0),
+            jnp.asarray(dataset.campos[:1]),
+            jnp.asarray(dataset.get_item(0)["raydir"]),
+            jnp.zeros((1, 3)),
+        )
+        norms = np.linalg.norm(np.asarray(out["uv"]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
     def test_freeze_subnetwork(self, dataset):
         cfg = NeuTexConfig(
             primitive_type="square", sample_num=8, points_per_primitive=64,
