@@ -101,7 +101,10 @@ def main() -> None:
         upsamp_list=[],
         update_AlphaMask_list=[],
         seed=20211202,
-        microbatch=int(os.environ.get("NGF_BENCH_MICRO", "4")),
+        # microbatch=1: the masked-stage activations fit HBM comfortably and
+        # the simpler graph (no inner accumulation scan) compiles faster on
+        # the slow remote XLA service; measured throughput is equal.
+        microbatch=int(os.environ.get("NGF_BENCH_MICRO", "1")),
         sample_cap=int(os.environ.get("NGF_BENCH_CAP", default_cap)),
         rgb_cap=int(os.environ.get("NGF_BENCH_RGB_CAP", default_rgb)),
         steps_per_call=steps_per_call,

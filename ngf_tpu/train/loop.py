@@ -96,6 +96,16 @@ class TriPlaneTrainer:
         self.mesh = mesh
         self.log_lines: list[str] = []
 
+        if args.Ortho_weight > 0:
+            # The reference's orthogonality regularizer references tensors
+            # that do not exist in the tri-plane models (`vector_comp_diffs`,
+            # `InfoInv/models/Field.py:104-105` -- it would AttributeError at
+            # any nonzero weight); fail loudly instead of silently ignoring.
+            raise NotImplementedError(
+                "Ortho_weight > 0: the reference's vector_comp_diffs is dead "
+                "code for tri-plane models; no equivalent is defined."
+            )
+
         self.model_cfg = model_config_from_args(args)
         self.aabb = np.asarray(train_dataset.scene_bbox, np.float32)
         # `InfoInv/main.py:218` hard-codes 256^3 voxels; the voxel grid must

@@ -44,7 +44,14 @@ SUBNETWORKS = {
 
 
 def lambda_lr(step, niter: int, niter_decay: int) -> jnp.ndarray:
+    """'lambda' policy (`UV-Mapping/util.py:317-323`): constant through
+    ``niter`` then linear decay over ``niter_decay``."""
     return 1.0 - jnp.maximum(0, step - niter) / float(niter_decay + 1)
+
+
+def step_lr(step, decay_iters: int) -> jnp.ndarray:
+    """'step' policy (`UV-Mapping/util.py:324-325`): x0.1 every decay_iters."""
+    return 0.1 ** (step // decay_iters)
 
 
 class UVTrainer:
@@ -60,6 +67,8 @@ class UVTrainer:
         save_dir: str | None = None,
         freeze: list[str] | None = None,
         mesh=None,
+        lr_policy: str = "lambda",
+        lr_decay_iters: int = 50,
     ):
         self.cfg = cfg
         self.dataset = dataset
@@ -85,7 +94,12 @@ class UVTrainer:
             for k, sub in self.params.items()
         }
 
-        schedule = partial(lambda_lr, niter=niter, niter_decay=niter_decay)
+        if lr_policy == "lambda":
+            schedule = partial(lambda_lr, niter=niter, niter_decay=niter_decay)
+        elif lr_policy == "step":
+            schedule = partial(step_lr, decay_iters=lr_decay_iters)
+        else:
+            raise NotImplementedError(f"lr policy {lr_policy!r}")
         base = optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
             optax.scale_by_schedule(lambda c: lr * schedule(c)),

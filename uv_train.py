@@ -53,6 +53,8 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--niter", type=int, default=500000)
     p.add_argument("--niter_decay", type=int, default=0)
+    p.add_argument("--lr_policy", type=str, default="lambda", choices=["lambda", "step"])
+    p.add_argument("--lr_decay_iters", type=int, default=50)
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--test_freq", type=int, default=10000)
     p.add_argument("--test_num", type=int, default=1)
@@ -112,6 +114,8 @@ def main(argv=None):
         lr=opt.lr,
         niter=opt.niter,
         niter_decay=opt.niter_decay,
+        lr_policy=opt.lr_policy,
+        lr_decay_iters=opt.lr_decay_iters,
         loss_weights={
             "color": opt.loss_color_weight,
             "bg": opt.loss_bg_weight,
