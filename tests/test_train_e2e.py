@@ -111,6 +111,28 @@ class TestTrainingLoop:
         assert np.isfinite(depth).all()
 
 
+class TestReproducibility:
+    def test_same_seed_identical_params(self, datasets):
+        train_ds, test_ds = datasets
+        args = tiny_args(n_iters=16, batch_size=256, seed=123)
+        t1 = TriPlaneTrainer(args, train_ds, test_ds, None)
+        t2 = TriPlaneTrainer(args, train_ds, test_ds, None)
+        m1 = t1.train_block(8)
+        m2 = t2.train_block(8)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(
+            np.asarray(t1.params["plane_xy"]), np.asarray(t2.params["plane_xy"])
+        )
+
+    def test_different_seed_differs(self, datasets):
+        train_ds, test_ds = datasets
+        t1 = TriPlaneTrainer(tiny_args(n_iters=8, batch_size=256, seed=1), train_ds, test_ds, None)
+        t2 = TriPlaneTrainer(tiny_args(n_iters=8, batch_size=256, seed=2), train_ds, test_ds, None)
+        assert not np.array_equal(
+            np.asarray(t1.params["plane_xy"]), np.asarray(t2.params["plane_xy"])
+        )
+
+
 class TestSharding:
     def test_multichip_matches_single(self, datasets):
         train_ds, test_ds = datasets
