@@ -78,3 +78,18 @@ def ray_march(
 def simple_tone_map(color: jnp.ndarray, gamma: float = 2.2, exposure: float = 1.0) -> jnp.ndarray:
     """Gamma tone map (`UV-Mapping/model/renderer.py:7-8`)."""
     return jnp.clip((color * exposure + 1e-5) ** (1.0 / gamma), 0.0, 1.0)
+
+
+def alpha_ray_march(
+    ray_dist: jnp.ndarray, ray_valid: jnp.ndarray, ray_features: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Density-only march (`UV-Mapping/model/renderer.py:250-268`): the
+    color-free variant used for opacity/transmittance queries.
+
+    Returns (opacity, acc_transmission, blend_weight, background_blend_weight).
+    """
+    sigma = ray_features[..., 0] * ray_valid.astype(ray_features.dtype)
+    opacity = 1.0 - jnp.exp(-sigma * ray_dist)
+    acc_transmission, t_total = exclusive_transmittance(opacity)
+    blend_weight = opacity * acc_transmission
+    return opacity, acc_transmission, blend_weight, t_total[..., 0]

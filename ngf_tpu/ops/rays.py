@@ -271,6 +271,45 @@ def sample_pdf(
     return bins_below + t * (bins_above - bins_below)
 
 
+def depth2dist(z_vals: jnp.ndarray, cos_angle: jnp.ndarray) -> jnp.ndarray:
+    """Depth samples -> segment lengths scaled by ray angle
+    (`InfoInv/dataLoader/ray_utils.py:9-15`)."""
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )
+    return dists * cos_angle[..., None]
+
+
+def ndc2dist(ndc_pts: jnp.ndarray, cos_angle: jnp.ndarray) -> jnp.ndarray:
+    """Segment lengths in NDC space (`ray_utils.py:18-21`)."""
+    dists = jnp.linalg.norm(ndc_pts[:, 1:] - ndc_pts[:, :-1], axis=-1)
+    return jnp.concatenate([dists, 1e10 * cos_angle[..., None]], axis=-1)
+
+
+def ndc_bbox(all_rays: jnp.ndarray) -> jnp.ndarray:
+    """Bounding box of NDC rays' near and far endpoints
+    (`ray_utils.py:269-275`)."""
+    near = all_rays[..., :3].reshape(-1, 3)
+    far = (all_rays[..., :3] + all_rays[..., 3:6]).reshape(-1, 3)
+    lo = jnp.minimum(near.min(0), far.min(0))
+    hi = jnp.maximum(near.max(0), far.max(0))
+    return jnp.stack([lo, hi])
+
+
+def find_ray_generation_method(name: str):
+    """Raygen registry (`UV-Mapping/model/renderer.py:13-24`)."""
+    if name == "cube":
+        return cube_ray_generation
+    raise RuntimeError(f"No such ray generation method: {name}")
+
+
+def find_refined_ray_generation_method(name: str):
+    if name == "cube":
+        return refine_cube_ray_generation
+    raise RuntimeError(f"No such refined ray generation method: {name}")
+
+
 def ndc_rays_blender(
     h: int, w: int, focal: float, near: float, rays_o: jnp.ndarray, rays_d: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
