@@ -110,8 +110,10 @@ class TrainArgs:
 
     # TPU-native additions (no reference counterpart):
     seed: int = 20211202
-    sample_cap: int = 0  # fixed-capacity sample compaction; 0 = dense
-    rgb_cap: int = 0  # top-K shading capacity per ray; 0 = all samples
+    sample_cap: int = 0  # per-ray sample capacity; 0 = dense, -1 = auto
+    # (-1: dense until the first occupancy grid, then the measured
+    # 99.9th-percentile occupied-samples count — no silent truncation)
+    rgb_cap: int = 0  # top-K shading capacity; 0 = all, -1 = sample_cap/4
     mask_stride: int = 1  # occupancy lookup every K-th sample (see RenderConfig)
     plane_res: int = 256  # reference hard-codes 256 (Field.py:14/17)
     gauge_res: int = 256

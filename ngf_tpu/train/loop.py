@@ -49,8 +49,10 @@ from ..utils.grid import cal_n_samples, grid_step_size, n_to_reso
 from ..utils.metrics import mse2psnr
 from .occupancy import (
     AlphaGrid,
+    auto_sample_cap,
     filter_rays_alpha,
     filter_rays_bbox,
+    occupied_samples_per_ray,
     shrink_box_voxels,
     update_alpha_mask,
 )
@@ -172,6 +174,14 @@ class TriPlaneTrainer:
         if reset:
             self.opt_state = self.optimizer.init(self.params)
 
+    def _effective_sample_cap(self) -> int:
+        """Resolve sample_cap = -1 (auto): dense before the first occupancy
+        grid exists, then the measured 99.9th-percentile occupied-samples
+        capacity (set at mask events)."""
+        if self.args.sample_cap != -1:
+            return self.args.sample_cap
+        return getattr(self, "_auto_cap", 0)
+
     def _render_cfg(self, sample_cap: int | None = None) -> RenderConfig:
         return RenderConfig(
             aabb=tuple(map(tuple, self.aabb.tolist())),
@@ -182,8 +192,12 @@ class TriPlaneTrainer:
             distance_scale=self.args.distance_scale,
             ray_march_weight_thres=self.args.rm_weight_mask_thre,
             white_bg=self.train_dataset.white_bg,
-            sample_cap=self.args.sample_cap if sample_cap is None else sample_cap,
-            rgb_cap=self.args.rgb_cap,
+            sample_cap=self._effective_sample_cap() if sample_cap is None else sample_cap,
+            rgb_cap=(
+                max(32, self._effective_sample_cap() // 4)
+                if self.args.rgb_cap == -1 and self._effective_sample_cap()
+                else max(0, self.args.rgb_cap)
+            ),
             mask_stride=self.args.mask_stride,
         )
 
@@ -381,6 +395,16 @@ class TriPlaneTrainer:
                 # Degenerate occupancy (e.g. mask update before any geometry
                 # emerged) — keep the training set instead of starving.
                 print("[trainer] alpha-mask ray filter kept 0 rays; skipping filter")
+        if self.args.sample_cap == -1:
+            counts = occupied_samples_per_ray(
+                self.all_rays, self.alpha, self.aabb,
+                float(self.train_dataset.near_far[0]),
+                float(self.train_dataset.near_far[1]),
+                self.step_size, self.n_samples,
+            )
+            self._auto_cap = auto_sample_cap(counts, self.n_samples)
+            print(f"[trainer] auto sample_cap -> {self._auto_cap} "
+                  f"(p99.9 occupied samples/ray)")
         self._build_step()
 
     def _event_shrink(self, new_aabb: np.ndarray):

@@ -153,6 +153,61 @@ def filter_rays_bbox(
     return np.concatenate(keep)
 
 
+def occupied_samples_per_ray(
+    all_rays: np.ndarray,
+    grid: AlphaGrid,
+    aabb,
+    near: float,
+    far: float,
+    step_size: float,
+    n_samples: int,
+    max_rays: int = 65536,
+    chunk: int = 16384,
+) -> np.ndarray:
+    """Count occupied samples per ray over (a subsample of) the training set.
+
+    Basis for auto-tuning the fixed per-ray sample capacity: the quantiles of
+    this distribution say how large the compaction capacity must be for the
+    dense-masked renderer to cover (nearly) every ray without truncation.
+    """
+    aabb_j = jnp.asarray(np.asarray(aabb, np.float32))
+
+    @jax.jit
+    def count_fn(rays):
+        pts, _, inb = stratified_sample(
+            None, rays[:, :3], rays[:, 3:6], aabb_j, near, far,
+            n_samples, step_size, False,
+        )
+        occ = (grid.sample(pts) > 0) & inb
+        return occ.sum(axis=-1)
+
+    rays = all_rays
+    if rays.shape[0] > max_rays:
+        idx = np.random.default_rng(0).choice(rays.shape[0], max_rays, replace=False)
+        rays = rays[idx]
+    counts = []
+    for i in range(0, rays.shape[0], chunk):
+        part = rays[i : i + chunk]
+        pad = chunk - part.shape[0]
+        if pad:
+            part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
+        c = np.asarray(count_fn(jnp.asarray(part)))
+        counts.append(c[: chunk - pad] if pad else c)
+    return np.concatenate(counts)
+
+
+def auto_sample_cap(
+    counts: np.ndarray, n_samples: int, quantile: float = 0.999, margin: float = 1.1
+) -> int:
+    """Capacity covering ``quantile`` of rays fully, with headroom, rounded
+    up to a multiple of 32 (TPU-friendly), capped at n_samples."""
+    if counts.size == 0:
+        return n_samples
+    q = float(np.quantile(counts, quantile))
+    cap = int(np.ceil(q * margin / 32.0) * 32)
+    return int(np.clip(cap, 32, n_samples))
+
+
 def filter_rays_alpha(
     all_rays: np.ndarray,
     grid: AlphaGrid,
