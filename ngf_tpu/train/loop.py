@@ -487,11 +487,15 @@ class TriPlaneTrainer:
             boundaries = [args.n_iters]
             boundaries += [e for e in events if e > self.iteration]
             if args.N_vis != 0 and args.vis_every > 0:
-                nxt = (
-                    (self.iteration // args.vis_every) + 1
-                ) * args.vis_every - 1  # fires at vis_every-1 (`main.py:313`)
-                if nxt >= self.iteration:
-                    boundaries.append(nxt)
+                # The reference evaluates when the 0-based loop variable hits
+                # vis_every-1, i.e. after vis_every completed steps
+                # (`main.py:313`); our counter counts completed steps, so the
+                # boundary is the next multiple of vis_every. Keeping it a
+                # multiple also keeps the scan block size uniform (every
+                # distinct block size is a separate multi-minute TPU compile).
+                boundaries.append(
+                    ((self.iteration // args.vis_every) + 1) * args.vis_every
+                )
             if args.save_every > 0:
                 nxt = ((self.iteration // args.save_every) + 1) * args.save_every
                 boundaries.append(nxt)
@@ -514,10 +518,8 @@ class TriPlaneTrainer:
                     progress_cb(self.iteration, mses_accum[-1] if mses_accum else None)
 
             it = self.iteration
-            # Eval fires when the loop lands on a vis boundary (the reference
-            # evaluates when iteration % vis_every == vis_every-1,
-            # `InfoInv/main.py:313`; our block loop stops at that boundary).
-            if args.N_vis != 0 and args.vis_every > 0 and it % args.vis_every == args.vis_every - 1 and self.test_dataset is not None and self.logfolder:
+            # Eval fires at vis_every completed steps (see boundary note above).
+            if args.N_vis != 0 and args.vis_every > 0 and it % args.vis_every == 0 and it > 0 and self.test_dataset is not None and self.logfolder:
                 fn = self.make_eval_render_fn(iteration=it)
                 psnrs_test = evaluation(
                     self.test_dataset, fn,
