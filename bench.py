@@ -24,7 +24,8 @@ Two stages (NGF_BENCH_STAGE):
 
 Knobs via env: NGF_BENCH_STEPS_PER_CALL, NGF_BENCH_BLOCKS, NGF_GATHER_IMPL
 (blocks|patch|pairs|rows), NGF_BENCH_DTYPE (float32|bfloat16),
-NGF_BENCH_CAP, NGF_BENCH_RGB_CAP, NGF_BENCH_MICRO.
+NGF_BENCH_CAP, NGF_BENCH_RGB_CAP, NGF_BENCH_MICRO, NGF_BENCH_GROUP,
+NGF_BENCH_RUN_LEN, NGF_BENCH_TILE_Q.
 """
 
 from __future__ import annotations
@@ -61,6 +62,32 @@ def _analytic_alpha_grid(trainer, res: int = 128):
     occ = scipy.ndimage.maximum_filter(occ, size=3)
     occ_zyx = np.ascontiguousarray(occ.transpose(2, 1, 0))
     return AlphaGrid(volume=jnp.asarray(occ_zyx), aabb=jnp.asarray(aabb)).build_table()
+
+
+def _occupied_counts_numpy(trainer, train_ds, max_rays: int = 16384):
+    """Occupied samples per ray, numpy nearest-neighbor on the (dilated)
+    occupancy grid — the host-side stand-in for
+    `occupancy.occupied_samples_per_ray` used only to pick the auto cap."""
+    import numpy as np
+
+    rays = trainer.all_rays[:max_rays]
+    o, d = rays[:, :3], rays[:, 3:6]
+    aabb = np.asarray(trainer.aabb, np.float32)
+    near, far = [float(v) for v in train_ds.near_far]
+    vec = np.where(d == 0, 1e-6, d)
+    t_min = np.clip(
+        np.max(np.minimum((aabb[1] - o) / vec, (aabb[0] - o) / vec), -1), near, far
+    )
+    z = t_min[:, None] + trainer.step_size * np.arange(trainer.n_samples)[None, :]
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    inb = np.all((pts >= aabb[0]) & (pts <= aabb[1]), -1)
+    vol = np.asarray(trainer.alpha.volume)  # (gz, gy, gx)
+    g = np.array([vol.shape[2], vol.shape[1], vol.shape[0]])
+    ijk = np.clip(
+        np.round((pts - aabb[0]) / (aabb[1] - aabb[0]) * (g - 1)).astype(int), 0, g - 1
+    )
+    occ = vol[ijk[..., 2], ijk[..., 1], ijk[..., 0]] > 0
+    return (occ & inb).sum(-1)
 
 
 def main() -> None:
@@ -111,6 +138,10 @@ def main() -> None:
         compute_dtype=os.environ.get("NGF_BENCH_DTYPE", "float32"),
         filter_rays=0,  # avoid an extra device compile; synthetic rays all hit
         mask_stride=int(os.environ.get("NGF_BENCH_MASK_STRIDE", "4")),
+        group_size=int(os.environ.get("NGF_BENCH_GROUP", "8")),
+        run_len=int(os.environ.get("NGF_BENCH_RUN_LEN", "4")),
+        tile_q=int(os.environ.get("NGF_BENCH_TILE_Q", "0")),
+        fused_fetch=int(os.environ.get("NGF_BENCH_FUSED_FETCH", "0")),
     )
 
     t0 = time.time()
@@ -119,6 +150,17 @@ def main() -> None:
     trainer = TriPlaneTrainer(args, train_ds, None, None)
     if stage == "masked":
         trainer.alpha = _analytic_alpha_grid(trainer)
+        if args.sample_cap == -1:
+            # host-side (numpy) equivalent of the shipping auto-cap path
+            # (`occupancy.py:occupied_samples_per_ray` + `auto_sample_cap`);
+            # done on the host so the bench still compiles exactly ONE
+            # device program.
+            from ngf_tpu.train.occupancy import auto_sample_cap
+
+            trainer._auto_cap = auto_sample_cap(
+                _occupied_counts_numpy(trainer, train_ds), trainer.n_samples
+            )
+            log(f"auto sample_cap -> {trainer._auto_cap}")
         trainer._build_step()
     log(f"[{time.time()-t0:5.1f}s] trainer built (stage={stage}, impl={impl}, "
         f"dtype={args.compute_dtype}, cap={args.sample_cap}, rgb={args.rgb_cap})")

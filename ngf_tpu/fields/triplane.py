@@ -145,6 +145,7 @@ def triplane_gauge(
     yz: jnp.ndarray,
     xz: jnp.ndarray,
     iteration: jnp.ndarray | int,
+    sample_fn=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Learned gauge deformation with cross-plane coupling
     (`TriPlane/models/Field.py:53-75`).
@@ -152,13 +153,18 @@ def triplane_gauge(
     The iteration >= gauge_start branch becomes a multiplicative activation
     flag: offsets are exactly zero before any training anyway, and zeroing
     them reproduces the identity branch bit-for-bit.
+
+    ``sample_fn(plane, coords, name)`` optionally overrides the gauge-grid
+    lookup (the coords here are the *undeformed* orthogonal projections, so
+    run-consecutive tiled sampling is always safe for them).
     """
     if cfg.variant != "gauge":
         return xy, yz, xz
+    smp = (lambda p, c, name: grid_sample_2d(p, c)) if sample_fn is None else sample_fn
     active = (jnp.asarray(iteration) >= cfg.gauge_start).astype(xy.dtype)
-    dxy = grid_sample_2d(params["gauge_xy"], xy) * active
-    dyz = grid_sample_2d(params["gauge_yz"], yz) * active
-    dxz = grid_sample_2d(params["gauge_xz"], xz) * active
+    dxy = smp(params["gauge_xy"], xy, "gauge_xy") * active
+    dyz = smp(params["gauge_yz"], yz, "gauge_yz") * active
+    dxz = smp(params["gauge_xz"], xz, "gauge_xz") * active
     target_xy = jnp.stack(
         [
             xy[..., 0] + dxy[..., 0] + dxz[..., 0],
@@ -184,16 +190,18 @@ def triplane_gauge(
 
 
 def _plane_feats(
-    params: Params, cfg: TriPlaneConfig, xy, yz, xz, channels: slice
+    params: Params, cfg: TriPlaneConfig, xy, yz, xz, channels: slice,
+    sample_fn=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     dt = jnp.dtype(cfg.compute_dtype)
+    base = (lambda p, c, name: grid_sample_2d(p, c)) if sample_fn is None else sample_fn
 
-    def sample(plane, c):
-        return grid_sample_2d(plane[..., channels].astype(dt), c.astype(dt))
+    def sample(plane, c, name):
+        return base(plane[..., channels].astype(dt), c.astype(dt), name)
 
-    fxy = sample(params["plane_xy"], xy)
-    fyz = sample(params["plane_yz"], yz)
-    fxz = sample(params["plane_xz"], xz)
+    fxy = sample(params["plane_xy"], xy, "plane_xy")
+    fyz = sample(params["plane_yz"], yz, "plane_yz")
+    fxz = sample(params["plane_xz"], xz, "plane_xz")
     return fxy, fyz, fxz
 
 
@@ -204,7 +212,7 @@ def _pe_coords(xy: jnp.ndarray, yz: jnp.ndarray) -> jnp.ndarray:
 
 
 def triplane_density(
-    params: Params, cfg: TriPlaneConfig, xy, yz, xz
+    params: Params, cfg: TriPlaneConfig, xy, yz, xz, sample_fn=None
 ) -> jnp.ndarray:
     """Density at projected coords (`InfoInv/models/Field.py:52-70`,
     `TriPlane/models/Field.py:77-91`).
@@ -212,7 +220,7 @@ def triplane_density(
     Returns (...,) density (post softplus-shift).
     """
     ch = slice(0, cfg.density_dim)
-    fxy, fyz, fxz = _plane_feats(params, cfg, xy, yz, xz, ch)
+    fxy, fyz, fxz = _plane_feats(params, cfg, xy, yz, xz, ch, sample_fn)
     if cfg.infoinv:
         xyz = _pe_coords(xy, yz)
         fxy = infoinv_modulate(fxy, xyz, cfg.density_pe)
@@ -227,12 +235,12 @@ def triplane_density(
 
 
 def triplane_rgb(
-    params: Params, cfg: TriPlaneConfig, xy, yz, xz, viewdirs
+    params: Params, cfg: TriPlaneConfig, xy, yz, xz, viewdirs, sample_fn=None
 ) -> jnp.ndarray:
     """RGB at projected coords (`InfoInv/models/Field.py:72-89`,
     `TriPlane/models/Field.py:93-105`)."""
     ch = slice(cfg.density_dim, cfg.plane_dim)
-    fxy, fyz, fxz = _plane_feats(params, cfg, xy, yz, xz, ch)
+    fxy, fyz, fxz = _plane_feats(params, cfg, xy, yz, xz, ch, sample_fn)
     if cfg.infoinv:
         xyz = _pe_coords(xy, yz)
         fxy = infoinv_modulate(fxy, xyz, cfg.rgb_pe)
@@ -241,6 +249,50 @@ def triplane_rgb(
     feat = jnp.concatenate([fxy, fyz, fxz], axis=-1)
     rgb = apply_rgb_decoder(
         _cast(params["rgb_decoder"], cfg), feat, viewdirs.astype(feat.dtype), cfg.view_pe
+    )
+    return rgb.astype(jnp.float32)
+
+
+def triplane_density_and_rgbfeat(
+    params: Params, cfg: TriPlaneConfig, xy, yz, xz, sample_fn=None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused fetch: ONE gather of all plane channels per (point, plane).
+
+    Fetching density (0:density_dim) and appearance (density_dim:) channels
+    separately costs two descriptor sets; TPU gathers are descriptor-rate
+    bound, so fetching the full row once and slicing is cheaper whenever the
+    appearance features of (a subset of) the same points are needed anyway —
+    the renderer shades the top blend-weight samples, a subset of the
+    density samples. Returns (density (...,), rgb_feat (..., 3*rgb_dim)
+    already InfoInv-modulated); decode the subset with
+    :func:`triplane_rgb_from_feats`.
+    """
+    fxy, fyz, fxz = _plane_feats(
+        params, cfg, xy, yz, xz, slice(0, cfg.plane_dim), sample_fn
+    )
+    dd = cfg.density_dim
+    dparts = [fxy[..., :dd], fyz[..., :dd], fxz[..., :dd]]
+    rparts = [fxy[..., dd:], fyz[..., dd:], fxz[..., dd:]]
+    if cfg.infoinv:
+        xyz = _pe_coords(xy, yz)
+        dparts = [infoinv_modulate(f, xyz, cfg.density_pe) for f in dparts]
+        rparts = [infoinv_modulate(f, xyz, cfg.rgb_pe) for f in rparts]
+    dfeat = jnp.concatenate(dparts, axis=-1)
+    if cfg.variant == "gauge":
+        raw = apply_linear(_cast(params["density_decoder"], cfg), dfeat)[..., 0]
+    else:
+        raw = apply_density_decoder(_cast(params["density_decoder"], cfg), dfeat)[..., 0]
+    sigma = feature2density(raw.astype(jnp.float32), cfg.density_shift)
+    return sigma, jnp.concatenate(rparts, axis=-1)
+
+
+def triplane_rgb_from_feats(
+    params: Params, cfg: TriPlaneConfig, feats, viewdirs
+) -> jnp.ndarray:
+    """Decode rgb from pre-fetched (already modulated) appearance features."""
+    rgb = apply_rgb_decoder(
+        _cast(params["rgb_decoder"], cfg), feats, viewdirs.astype(feats.dtype),
+        cfg.view_pe,
     )
     return rgb.astype(jnp.float32)
 

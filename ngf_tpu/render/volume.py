@@ -79,6 +79,19 @@ class RenderConfig:
     # >= K/2 samples' travel (the reference's 3x3x3 max-pool covers K<=4 at
     # step_ratio 0.5); saves a third of the gather descriptors on TPU.
     mask_stride: int = 1
+    # Grouped/tiled formulation (round 2): samples compacted in groups of
+    # ``group_size`` consecutive samples (argsort-free cumsum partition,
+    # one gather descriptor per group) and plane features fetched as tiles
+    # serving ``run_len`` consecutive samples per descriptor
+    # (ngf_tpu/ops/tiled_sample.py). 0 disables (round-1 dense/argsort path).
+    group_size: int = 0
+    run_len: int = 4
+    tile_q: int = 2
+    # Grouped path only: fetch all plane channels in ONE gather per
+    # (point, plane) and shade from the prefetched features, instead of a
+    # second (coords-based) gather for the rgb subset. More gathered bytes,
+    # fewer descriptors.
+    fused_fetch: bool = False
 
     @property
     def aabb_array(self) -> jnp.ndarray:
@@ -105,6 +118,196 @@ def _compact(order_key: jnp.ndarray, cap: int, *arrays: jnp.ndarray):
         else:
             outs.append(jnp.take_along_axis(a, order[..., None], axis=1))
     return outs
+
+
+def make_runs_sampler(rcfg: RenderConfig):
+    """Plane sampler closure for the grouped path: tiled gathers with one
+    descriptor per run of ``rcfg.run_len`` consecutive samples.
+
+    The per-step texel movement is static (step_size / unit_axis from the
+    static aabb + the plane's traced shape), so the tile geometry is
+    resolved at trace time with a hard coverage guarantee.
+    """
+    from ..ops.tiled_sample import (
+        grid_sample_2d_runs,
+        make_tile_spec,
+        make_tile_table,
+    )
+
+    if rcfg.run_len <= 1 or rcfg.tile_q <= 0:
+        return None  # grouped compaction only; plane feats via blocks gather
+
+    lo, hi = rcfg.aabb
+    # plane-name suffix -> (H axis, W axis) in xyz indices. Matches the
+    # reference layouts (`TriPlane/models/Field.py:108-114`): xy plane is
+    # (H=y, W=x), yz is (H=z, W=y), xz is (H=z, W=x).
+    axmap = {"xy": (1, 0), "yz": (2, 1), "xz": (2, 0)}
+
+    def sample(plane: jnp.ndarray, coords: jnp.ndarray, name: str) -> jnp.ndarray:
+        H, W, C = plane.shape
+        ha, wa = axmap[name.rsplit("_", 1)[1]]
+        dh = rcfg.step_size * (H - 1) / (hi[ha] - lo[ha])
+        dw = rcfg.step_size * (W - 1) / (hi[wa] - lo[wa])
+        spec = make_tile_spec(H, W, dh, dw, rcfg.run_len, rcfg.tile_q)
+        table = make_tile_table(plane, spec)
+        return grid_sample_2d_runs(table, spec, C, coords, rcfg.run_len)
+
+    return sample
+
+
+def _render_rays_grouped(
+    params: Any,
+    model_cfg: TriPlaneConfig,
+    rcfg: RenderConfig,
+    rays: jnp.ndarray,
+    key: jax.Array | None,
+    *,
+    is_train: bool,
+    iteration: jnp.ndarray | int,
+    alpha_volume: jnp.ndarray | None,
+    alpha_aabb: jnp.ndarray | None,
+    alpha_table: jnp.ndarray | None,
+) -> dict[str, jnp.ndarray]:
+    """Group-compacted, tile-gathered render path (round 2).
+
+    Numerically equivalent to the dense path (same masked-compute semantics
+    as `Base.forward`, `InfoInv/models/FieldBase.py:228-282`) with two
+    static-capacity approximations shared with round 1: at most
+    ``sample_cap`` valid samples per ray are evaluated, and only the
+    ``rgb_cap`` best samples (here: best groups by max blend weight) are
+    shaded. Differences from the round-1 path, all descriptor-count
+    motivated (see NOTES.md):
+
+    - samples keep/drop in groups of G consecutive samples (one gather
+      descriptor per group instead of per sample);
+    - the stable partition comes from a cumsum + one-hot contraction, not a
+      stable argsort;
+    - the reference's trailing-zero dist (`FieldBase.py:235`) is folded into
+      the valid mask (a zero dist and a zero density produce the same
+      alpha), making per-sample dists the constant step_size;
+    - occupancy is queried once per group at the group center — conservative
+      under the reference's own 3x3x3 mask dilation for G*step <= 2 mask
+      voxels (`FieldBase.py:188`).
+    """
+    from ..ops.compaction import gather_groups, group_compact_indices
+
+    aabb = rcfg.aabb_array
+    rays_o, viewdirs = rays[:, 0:3], rays[:, 3:6]
+    n = rays.shape[0]
+    S = rcfg.n_samples
+    G = rcfg.group_size
+    ng = -(-S // G)
+    s_pad = ng * G
+
+    k_jit = k_bg = None
+    if key is not None:
+        k_jit, k_bg = jax.random.split(key)
+
+    pts, z_vals, valid = stratified_sample(
+        k_jit, rays_o, viewdirs, aabb, rcfg.near, rcfg.far,
+        rcfg.n_samples, rcfg.step_size, is_train,
+    )
+    # Trailing-zero dist == last sample contributes alpha 0 == invalid.
+    valid = valid & (jnp.arange(S) < S - 1)
+    if s_pad > S:
+        pts = jnp.pad(pts, ((0, 0), (0, s_pad - S), (0, 0)), mode="edge")
+        z_vals = jnp.pad(z_vals, ((0, 0), (0, s_pad - S)), mode="edge")
+        valid = jnp.pad(valid, ((0, 0), (0, s_pad - S)))
+
+    if alpha_volume is not None:
+        a_aabb = aabb if alpha_aabb is None else alpha_aabb
+        centers = pts[:, G // 2 :: G]  # (n, ng, 3)
+        occ = _sample_alpha_volume(
+            alpha_volume, normalize_coord(centers, a_aabb), alpha_table
+        ) > 0
+        valid = valid & jnp.repeat(occ, G, axis=1)
+
+    gvalid = valid.reshape(n, ng, G).any(-1)
+    cap = rcfg.sample_cap if rcfg.sample_cap else S
+    capg = min(ng, -(-cap // G))
+    idx, got = group_compact_indices(gvalid, capg)
+
+    payload = jnp.stack([z_vals, valid.astype(z_vals.dtype)], axis=-1)
+    sel = gather_groups(payload, idx, G)  # (n, capg*G, 2)
+    z_c = sel[..., 0]
+    vmask = sel[..., 1] * jnp.repeat(got.astype(sel.dtype), G, axis=1)
+    mc = capg * G
+
+    pts_c = rays_o[:, None, :] + viewdirs[:, None, :] * z_c[..., None]
+    xyz_n = normalize_coord(pts_c, aabb)
+    xy, yz, xz = triplane_project(xyz_n)
+    sampler = make_runs_sampler(rcfg)
+    xy, yz, xz = triplane_gauge(
+        params, model_cfg, xy, yz, xz, iteration, sample_fn=sampler
+    )
+    # Learned-gauge deformation voids the run-consecutiveness guarantee for
+    # the deformed coords; plane feats fall back to the blocks gather there.
+    plane_sampler = None if model_cfg.variant == "gauge" else sampler
+
+    rfeat = None
+    if rcfg.fused_fetch:
+        from ..fields.triplane import (
+            triplane_density_and_rgbfeat,
+            triplane_rgb_from_feats,
+        )
+
+        sigma, rfeat = triplane_density_and_rgbfeat(
+            params, model_cfg, xy, yz, xz, sample_fn=plane_sampler
+        )
+        sigma = sigma * vmask
+    else:
+        sigma = (
+            triplane_density(params, model_cfg, xy, yz, xz, sample_fn=plane_sampler)
+            * vmask
+        )
+    dist = jnp.float32(rcfg.step_size * rcfg.distance_scale)
+    alpha, weight, bg_weight = raw2alpha(sigma, dist)
+    acc_map = jnp.sum(weight, axis=-1)
+
+    kg = min(capg, max(1, rcfg.rgb_cap // G)) if rcfg.rgb_cap else capg
+    if kg < capg:
+        # Shade only the top-kg groups by max blend weight — the group-level
+        # version of the reference's weight>thres mask (`FieldBase.py:261`).
+        gw = weight.reshape(n, capg, G).max(-1)
+        _, top_g = jax.lax.top_k(gw, kg)  # (n, kg)
+        wm = jnp.stack([weight, vmask], axis=-1)
+        if rfeat is not None:
+            feat_k = gather_groups(rfeat, top_g, G)
+            wsel = gather_groups(wm, top_g, G)  # separate, stays f32
+            w_k, m_k = wsel[..., 0], wsel[..., 1]
+            xy_k = yz_k = xz_k = None
+        else:
+            psel = gather_groups(
+                jnp.concatenate([xy, yz, xz, wm], axis=-1), top_g, G
+            )  # (n, kg*G, 8)
+            xy_k, yz_k, xz_k = psel[..., 0:2], psel[..., 2:4], psel[..., 4:6]
+            w_k, m_k = psel[..., 6], psel[..., 7]
+    else:
+        xy_k, yz_k, xz_k, w_k, m_k = xy, yz, xz, weight, vmask
+        feat_k = rfeat
+
+    rgb_mask = (w_k > rcfg.ray_march_weight_thres).astype(w_k.dtype) * m_k
+    views = jnp.broadcast_to(viewdirs[:, None, :], (n, w_k.shape[1], 3))
+    if rfeat is not None:
+        rgb_k = triplane_rgb_from_feats(params, model_cfg, feat_k, views)
+    else:
+        rgb_k = triplane_rgb(
+            params, model_cfg, xy_k, yz_k, xz_k, views, sample_fn=plane_sampler
+        )
+    rgb_map = jnp.sum((w_k * rgb_mask)[..., None] * rgb_k, axis=-2)
+
+    if rcfg.white_bg:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+    elif is_train:
+        mix = (jax.random.uniform(k_bg, ()) < 0.5).astype(rgb_map.dtype)
+        rgb_map = rgb_map + mix * (1.0 - acc_map[..., None])
+
+    rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+    depth_map = jnp.sum(weight * z_c, axis=-1)
+    depth_map = jax.lax.stop_gradient(
+        depth_map + (1.0 - acc_map) * rays[..., -1]
+    )
+    return {"rgb_map": rgb_map, "depth_map": depth_map, "acc_map": acc_map}
 
 
 def render_rays(
@@ -137,6 +340,14 @@ def render_rays(
     Returns:
       dict with 'rgb_map' (N, 3) and 'depth_map' (N,).
     """
+    if rcfg.group_size > 0:
+        return _render_rays_grouped(
+            params, model_cfg, rcfg, rays, key,
+            is_train=is_train, iteration=iteration,
+            alpha_volume=alpha_volume, alpha_aabb=alpha_aabb,
+            alpha_table=alpha_table,
+        )
+
     aabb = rcfg.aabb_array
     rays_o, viewdirs = rays[:, 0:3], rays[:, 3:6]
 

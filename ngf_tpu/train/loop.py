@@ -127,7 +127,9 @@ class TriPlaneTrainer:
             else init_triplane(init_key, self.model_cfg)
         )
         self.alpha: AlphaGrid | None = init_alpha
-        self.l1_weight = 8e-5  # `InfoInv/main.py:259`
+        # Default 8e-5, matching the reference's hardcode (`InfoInv/main.py:259`);
+        # explicit --L1_weight_initial values take effect (see config.py note).
+        self.l1_weight = args.L1_weight_initial
         self.iteration = 0
 
         self.n_voxel_list = self._voxel_schedule()
@@ -199,6 +201,10 @@ class TriPlaneTrainer:
                 else max(0, self.args.rgb_cap)
             ),
             mask_stride=self.args.mask_stride,
+            group_size=self.args.group_size,
+            run_len=self.args.run_len,
+            tile_q=self.args.tile_q,
+            fused_fetch=bool(self.args.fused_fetch),
         )
 
     def _build_step(self):
@@ -377,7 +383,7 @@ class TriPlaneTrainer:
             alpha_thres=self.args.alpha_mask_thre,
         )
         if first:
-            self.l1_weight = 4e-5  # `InfoInv/main.py:328`
+            self.l1_weight = self.args.L1_weight_rest  # `InfoInv/main.py:328`
             if self.args.subsystem == "triplane":
                 self._event_shrink(new_aabb)
             keep = filter_rays_alpha(

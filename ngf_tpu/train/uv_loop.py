@@ -93,10 +93,21 @@ class UVTrainer:
             for k, sub in self.params.items()
         }
 
+        self.lr_policy = lr_policy
         if lr_policy == "lambda":
             schedule = partial(lambda_lr, niter=niter, niter_decay=niter_decay)
         elif lr_policy == "step":
             schedule = partial(step_lr, decay_iters=lr_decay_iters)
+        elif lr_policy == "plateau":
+            # The reference selects ReduceLROnPlateau(mode='min', factor=0.2,
+            # threshold=0.01, patience=5) (`UV-Mapping/util.py:326-331`) but
+            # then calls scheduler.step() without the required metric
+            # (`model.py:241-243`) — a TypeError at runtime, i.e. dead code.
+            # This is the working equivalent: a host-side controller
+            # (see _plateau_update) scales the LR by 0.2 after 5 metric
+            # blocks without 1% relative improvement of the color loss.
+            schedule = lambda c: 1.0
+            self._plateau = {"best": float("inf"), "bad": 0, "mult": 1.0}
         else:
             raise NotImplementedError(f"lr policy {lr_policy!r}")
         base = optax.chain(
@@ -111,11 +122,23 @@ class UVTrainer:
         self._build_step()
 
     def _build_step(self):
+        """Scan-blocked train step: T optimizer steps per device call.
+
+        The reference dispatches one step per Python iteration
+        (`UV-Mapping/train.py:127-165`); on this backend a dispatch costs
+        ~30 ms, so the 500k-step DTU schedule would spend hours on dispatch
+        alone. Fusing T steps into one ``lax.scan`` (same design as
+        `TriPlaneTrainer._build_step`) amortizes it T-fold; dataset sampling
+        stays on the host and feeds stacked (T, ...) batches.
+        """
         cfg = self.cfg
         weights = dict(self.loss_weights)
         optimizer = self.optimizer
 
-        def step(params, opt_state, key, campos, raydir, gt, bg, trans):
+        def one_step(carry, xs):
+            params, opt_state = carry
+            key, campos, raydir, gt, bg, trans, lr_mult = xs
+
             def loss_fn(p):
                 out = neutex_forward(p, cfg, key, campos, raydir, bg)
                 total, losses = neutex_losses(out, gt, trans, weights)
@@ -123,51 +146,101 @@ class UVTrainer:
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr_mult, updates)
             params = optax.apply_updates(params, updates)
+            return (params, opt_state), losses
+
+        def block(params, opt_state, keys, campos, raydir, gt, bg, trans, lr_mult):
+            def body(carry, xs):
+                k, c, r, g, b, t = xs
+                return one_step(carry, (k, c, r, g, b, t, lr_mult))
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, campos, raydir, gt, bg, trans)
+            )
+            return params, opt_state, losses
+
+        def block_no_trans(params, opt_state, keys, campos, raydir, gt, bg, lr_mult):
+            def body(carry, xs):
+                k, c, r, g, b = xs
+                return one_step(carry, (k, c, r, g, b, None, lr_mult))
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, campos, raydir, gt, bg)
+            )
             return params, opt_state, losses
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(self.mesh, P())
-            ray_shard = NamedSharding(self.mesh, P(None, "data"))
-            self._step_with_trans = jax.jit(
-                step,
+            ray_shard = NamedSharding(self.mesh, P(None, None, "data"))
+            self._block_with_trans = jax.jit(
+                block,
                 in_shardings=(
-                    repl, repl, repl, repl, ray_shard, ray_shard, repl, ray_shard,
+                    repl, repl, repl, repl, ray_shard, ray_shard, repl,
+                    ray_shard, repl,
                 ),
                 donate_argnums=(0, 1),
             )
-            self._step_no_trans = jax.jit(
-                lambda p, o, k, c, r, g, b: step(p, o, k, c, r, g, b, None),
-                in_shardings=(repl, repl, repl, repl, ray_shard, ray_shard, repl),
+            self._block_no_trans = jax.jit(
+                block_no_trans,
+                in_shardings=(
+                    repl, repl, repl, repl, ray_shard, ray_shard, repl, repl,
+                ),
                 donate_argnums=(0, 1),
             )
         else:
-            self._step_with_trans = jax.jit(step, donate_argnums=(0, 1))
-            self._step_no_trans = jax.jit(
-                lambda p, o, k, c, r, g, b: step(p, o, k, c, r, g, b, None),
-                donate_argnums=(0, 1),
+            self._block_with_trans = jax.jit(block, donate_argnums=(0, 1))
+            self._block_no_trans = jax.jit(block_no_trans, donate_argnums=(0, 1))
+
+    def _plateau_update(self, color_loss: float) -> None:
+        """Working ReduceLROnPlateau semantics (mode=min, factor=0.2,
+        rel threshold 0.01, patience 5) applied per metric block."""
+        st = self._plateau
+        if color_loss < st["best"] * (1.0 - 0.01):
+            st["best"] = color_loss
+            st["bad"] = 0
+        else:
+            st["bad"] += 1
+            if st["bad"] > 5:
+                st["mult"] *= 0.2
+                st["bad"] = 0
+
+    def train_block(self, items: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+        """Run len(items) optimizer steps in ONE device call.
+
+        Returns per-step loss arrays (T,). Each distinct T compiles its own
+        program — drivers should use a fixed block size.
+        """
+        t = len(items)
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, t)
+        stack = lambda name: jnp.asarray(np.stack([it[name] for it in items]))
+        campos, raydir = stack("campos"), stack("raydir")
+        gt, bg = stack("gt_image"), stack("background_color")
+        lr_mult = jnp.float32(
+            self._plateau["mult"] if self.lr_policy == "plateau" else 1.0
+        )
+        if "transmittance" in items[0]:
+            self.params, self.opt_state, losses = self._block_with_trans(
+                self.params, self.opt_state, keys, campos, raydir, gt, bg,
+                stack("transmittance"), lr_mult,
             )
+        else:
+            self.params, self.opt_state, losses = self._block_no_trans(
+                self.params, self.opt_state, keys, campos, raydir, gt, bg, lr_mult
+            )
+        self.step_count += t
+        losses = {k: np.asarray(v) for k, v in losses.items()}
+        if self.lr_policy == "plateau" and "color" in losses:
+            self._plateau_update(float(losses["color"].mean()))
+        return losses
 
     def train_step(self, item: dict[str, np.ndarray]) -> dict[str, float]:
         """One optimize_parameters() call on one dataset item."""
-        self.key, sub = jax.random.split(self.key)
-        campos = jnp.asarray(item["campos"])
-        raydir = jnp.asarray(item["raydir"])
-        gt = jnp.asarray(item["gt_image"])
-        bg = jnp.asarray(item["background_color"])
-        if "transmittance" in item:
-            self.params, self.opt_state, losses = self._step_with_trans(
-                self.params, self.opt_state, sub, campos, raydir, gt, bg,
-                jnp.asarray(item["transmittance"]),
-            )
-        else:
-            self.params, self.opt_state, losses = self._step_no_trans(
-                self.params, self.opt_state, sub, campos, raydir, gt, bg
-            )
-        self.step_count += 1
-        return {k: float(v) for k, v in losses.items()}
+        losses = self.train_block([item])
+        return {k: float(v[-1]) for k, v in losses.items()}
 
     # ------------------------------------------------------------- rendering
 

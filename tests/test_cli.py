@@ -83,3 +83,42 @@ class TestMainCLI:
         )
         out = os.path.join(logdir, "smoke", "imgs_test_all", "mean.txt")
         assert os.path.exists(out)
+
+
+class TestDeadKnobGuards:
+    """Parsed-but-dead reference knobs must raise loudly, not silently
+    no-op (VERDICT round 1, item 8; same policy as the Ortho_weight guard)."""
+
+    def test_dead_knobs_raise(self):
+        import pytest
+        from ngf_tpu.config import TrainArgs
+
+        for kw in (
+            {"with_depth": True},
+            {"lindisp": True},
+            {"white_bkgd": True},
+            {"perturb": 0.0},
+            {"accumulate_decay": 0.5},
+            {"idx_view": 3},
+            {"transform_type": "discrete"},
+            {"lr_upsample_reset": 0},
+            {"model_name": "TensorVMSplit"},
+            {"ndc_ray": 1, "dataset_name": "blender"},
+        ):
+            with pytest.raises(NotImplementedError):
+                TrainArgs(**kw)
+
+    def test_defaults_and_llff_ndc_accepted(self):
+        from ngf_tpu.config import TrainArgs
+
+        TrainArgs()  # defaults fine
+        TrainArgs(ndc_ray=1, dataset_name="llff")  # consistent annotation
+
+    def test_l1_weights_wired(self):
+        from ngf_tpu.config import TrainArgs
+
+        args = TrainArgs()
+        assert args.L1_weight_initial == 8e-5  # reference hardcode default
+        assert args.L1_weight_rest == 4e-5
+        custom = TrainArgs(L1_weight_initial=1e-4)
+        assert custom.L1_weight_initial == 1e-4

@@ -53,7 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--niter", type=int, default=500000)
     p.add_argument("--niter_decay", type=int, default=0)
-    p.add_argument("--lr_policy", type=str, default="lambda", choices=["lambda", "step"])
+    p.add_argument("--lr_policy", type=str, default="lambda",
+                   choices=["lambda", "step", "plateau"])
+    p.add_argument("--steps_per_call", type=int, default=20,
+                   help="optimizer steps fused into one device call "
+                        "(TPU dispatch amortization; no reference analog)")
     p.add_argument("--lr_decay_iters", type=int, default=50)
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--test_freq", type=int, default=10000)
@@ -144,13 +148,23 @@ def main(argv=None):
     n_acc = 0
     t0 = time.time()
 
-    while total_steps < opt.niter + opt.niter_decay:
-        item = dataset.sample()
-        losses = trainer.train_step(item)
-        total_steps += 1
-        n_acc += 1
+    end_step = opt.niter + opt.niter_decay
+    while total_steps < end_step:
+        # Fuse steps up to the next print/test/save boundary into one device
+        # call (each distinct block size is its own compile; with freqs that
+        # are multiples of steps_per_call there is exactly one).
+        boundaries = [end_step]
+        for freq in (opt.print_freq, opt.test_freq, opt.save_iter_freq):
+            if freq > 0:
+                boundaries.append(((total_steps // freq) + 1) * freq)
+        target = min(b for b in boundaries if b > total_steps)
+        block = min(max(1, opt.steps_per_call), target - total_steps)
+        items = [dataset.sample() for _ in range(block)]
+        losses = trainer.train_block(items)
+        total_steps += block
+        n_acc += block
         for k, v in losses.items():
-            acc[k] = acc.get(k, 0.0) + v
+            acc[k] = acc.get(k, 0.0) + float(v.sum())
 
         if total_steps % opt.print_freq == 0:
             msg = (
