@@ -125,6 +125,19 @@ def evaluation(
     if psnrs and save_path is not None:
         if compute_extra_metrics:
             stats = [np.mean(psnrs), np.mean(ssims), np.mean(l_alex), np.mean(l_vgg)]
+            if np.isnan(stats[2]) or np.isnan(stats[3]):
+                # Explicit marker instead of a silent NaN slot: this
+                # environment has neither the lpips package nor exported
+                # weights (see ngf_tpu/utils/lpips.py for how to provide
+                # them offline).
+                with open(
+                    os.path.join(save_path, f"{prtx}lpips_unavailable.txt"), "w"
+                ) as f:
+                    f.write(
+                        "LPIPS not computed: no 'lpips' package and no "
+                        "weights npz (tools/export_lpips_weights.py). "
+                        "mean.txt slots 3-4 are NaN.\n"
+                    )
         else:
             stats = [np.mean(psnrs)]
         np.savetxt(os.path.join(save_path, f"{prtx}mean.txt"), np.asarray(stats))

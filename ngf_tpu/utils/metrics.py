@@ -70,24 +70,12 @@ def rgb_ssim(
     return ssim_map if return_map else float(np.mean(ssim_map))
 
 
-_LPIPS_CACHE: dict[str, object] = {}
-
-
 def rgb_lpips(np_gt: np.ndarray, np_im: np.ndarray, net_name: str = "alex") -> float:
-    """LPIPS distance, or NaN when the optional lpips package is unavailable
-    (`InfoInv/utils.py:85-97` — torch runs on host CPU here)."""
-    try:
-        import torch
-        import lpips  # type: ignore
-    except ImportError:
-        return float("nan")
-    if net_name not in _LPIPS_CACHE:
-        _LPIPS_CACHE[net_name] = lpips.LPIPS(net=net_name, version="0.1").eval()
-    model = _LPIPS_CACHE[net_name]
-    gt = torch.from_numpy(np.ascontiguousarray(np_gt)).permute(2, 0, 1).float()
-    im = torch.from_numpy(np.ascontiguousarray(np_im)).permute(2, 0, 1).float()
-    with torch.no_grad():
-        return float(model(gt, im, normalize=True).item())
+    """LPIPS distance (`InfoInv/utils.py:85-97`); full resolution chain and
+    the offline weight-provisioning story live in ngf_tpu/utils/lpips.py."""
+    from .lpips import rgb_lpips as _impl
+
+    return _impl(np_gt, np_im, net_name)
 
 
 def tv_loss_2d(x, weight: float = 1.0):

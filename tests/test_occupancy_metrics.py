@@ -114,3 +114,51 @@ class TestUVSchedules:
         assert float(step_lr(0, 10)) == 1.0
         assert float(step_lr(10, 10)) == pytest.approx(0.1)
         assert float(step_lr(25, 10)) == pytest.approx(0.01)
+
+
+class TestLpipsPlumbing:
+    """The LPIPS forward is validated with synthetic weights (real weights
+    cannot exist in this zero-egress image; see ngf_tpu/utils/lpips.py)."""
+
+    def _fake_alex_npz(self, path):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        arch = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3), (256, 256, 3)]
+        data = {}
+        for i, (o, c, k) in enumerate(arch):
+            data[f"conv{i}_w"] = rng.normal(0, 0.05, (o, c, k, k)).astype("float32")
+            data[f"conv{i}_b"] = np.zeros(o, "float32")
+        for i, (o, _, _) in enumerate(arch):
+            data[f"lin{i}_w"] = np.abs(
+                rng.normal(0, 0.01, (1, o, 1, 1))
+            ).astype("float32")
+        np.savez(path, **data)
+
+    def test_npz_forward(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from ngf_tpu.utils import lpips as L
+
+        monkeypatch.setenv("NGF_LPIPS_WEIGHTS_DIR", str(tmp_path))
+        L._models.clear()
+        self._fake_alex_npz(tmp_path / "lpips_alex.npz")
+        rng = np.random.default_rng(1)
+        a = rng.random((64, 64, 3)).astype("float32")
+        b = rng.random((64, 64, 3)).astype("float32")
+        d_same = L.rgb_lpips(a, a, "alex")
+        d_diff = L.rgb_lpips(a, b, "alex")
+        assert d_same == 0.0
+        assert np.isfinite(d_diff) and d_diff > 0
+
+    def test_unavailable_returns_nan_with_marker(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from ngf_tpu.utils import lpips as L
+
+        monkeypatch.setenv("NGF_LPIPS_WEIGHTS_DIR", str(tmp_path / "empty"))
+        L._models.clear()
+        L._warned.clear()
+        a = np.zeros((16, 16, 3), "float32")
+        with pytest.warns(UserWarning, match="lpips_unavailable"):
+            assert np.isnan(L.rgb_lpips(a, a, "vgg"))
