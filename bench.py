@@ -25,7 +25,7 @@ Two stages (NGF_BENCH_STAGE):
 Knobs via env: NGF_BENCH_STEPS_PER_CALL, NGF_BENCH_BLOCKS, NGF_GATHER_IMPL
 (blocks|patch|pairs|rows), NGF_BENCH_DTYPE (float32|bfloat16),
 NGF_BENCH_CAP, NGF_BENCH_RGB_CAP, NGF_BENCH_MICRO, NGF_BENCH_GROUP,
-NGF_BENCH_RUN_LEN, NGF_BENCH_TILE_Q.
+NGF_BENCH_RUN_LEN, NGF_BENCH_TILE_Q, NGF_BENCH_CONFIG (infoinv|gauge|uv).
 """
 
 from __future__ import annotations
@@ -90,6 +90,51 @@ def _occupied_counts_numpy(trainer, train_ds, max_rays: int = 16384):
     return (occ & inb).sum(-1)
 
 
+def bench_uv() -> dict:
+    """UV-Mapping (NeuTex) train-step throughput at the reference DTU
+    workload: 576 rays (24^2 balanced patch), 64 samples/ray, square
+    primitive, 2500 template points (`UV-Mapping/dtu_train.sh:9-27`).
+    Scan-fused blocks (steps_per_call) amortize dispatch."""
+    import time as _t
+
+    import numpy as np
+
+    from ngf_tpu.data.dtu import SyntheticDtuDataset
+    from ngf_tpu.fields.neutex import NeuTexConfig
+    from ngf_tpu.train.uv_loop import UVTrainer
+
+    steps_per_call = int(os.environ.get("NGF_BENCH_STEPS_PER_CALL", "20"))
+    n_blocks = int(os.environ.get("NGF_BENCH_BLOCKS", "3"))
+    t0 = _t.time()
+    ds = SyntheticDtuDataset(
+        n_views=8, wh=(128, 128), random_sample="balanced",
+        random_sample_size=24, seed=0,
+    )
+    cfg = NeuTexConfig(
+        primitive_type="square", sample_num=64, points_per_primitive=2500
+    )
+    trainer = UVTrainer(cfg, ds, seed=0)
+    log(f"[{_t.time()-t0:5.1f}s] uv trainer built")
+    trainer.train_block([ds.sample() for _ in range(steps_per_call)])
+    log(f"[{_t.time()-t0:5.1f}s] compiled + first block")
+    best = float("inf")
+    for b in range(n_blocks):
+        items = [ds.sample() for _ in range(steps_per_call)]
+        t1 = _t.perf_counter()
+        losses = trainer.train_block(items)
+        float(np.asarray(losses["total"])[-1])  # host sync
+        dt = (_t.perf_counter() - t1) / steps_per_call
+        best = min(best, dt)
+        log(f"[{_t.time()-t0:5.1f}s] block {b}: {dt*1000:.1f} ms/step")
+    rays = 24 * 24
+    return {
+        "metric": "uv_dtu_train_throughput",
+        "value": round(rays / best, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(rays / best / 30_000.0, 3),  # ~50 it/s GPU-class assumption
+    }
+
+
 def main() -> None:
     import numpy as np
 
@@ -100,6 +145,11 @@ def main() -> None:
     from ngf_tpu.ops.grid_sample import set_gather_impl
     from ngf_tpu.train.loop import TriPlaneTrainer
     from ngf_tpu.utils.grid import cal_n_samples
+
+    config = os.environ.get("NGF_BENCH_CONFIG", "infoinv")
+    if config == "uv":
+        print(json.dumps(bench_uv()))
+        return
 
     impl = os.environ.get("NGF_GATHER_IMPL", "blocks")
     set_gather_impl(impl)
@@ -116,8 +166,9 @@ def main() -> None:
 
     n_samples = cal_n_samples([256, 256, 256], 0.5)  # 886, the lego workload
     args = TrainArgs(
-        subsystem="infoinv",
-        infoinv=True,
+        subsystem="triplane" if config == "gauge" else "infoinv",
+        gauge_start=0 if config == "gauge" else 30000,
+        infoinv=(config == "infoinv"),
         dataset_name="synthetic",
         batch_size=4096,
         n_iters=30000,
@@ -183,7 +234,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "infoinv_lego_train_throughput",
+                "metric": f"{config}_lego_train_throughput",
                 "value": round(float(rays_per_sec), 1),
                 "unit": "rays/sec",
                 "vs_baseline": round(float(rays_per_sec / REF_RAYS_PER_SEC), 3),

@@ -39,3 +39,15 @@ def shard_batch(mesh: Mesh, *arrays):
     s = data_sharding(mesh)
     out = tuple(jax.device_put(a, s) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def make_mesh_2d(n_data: int, n_sample: int, devices=None) -> Mesh:
+    """2D ('data', 'sample') mesh: rays x samples-per-ray — the two scaling
+    axes of this workload (SURVEY.md §5: rays x samples is the
+    sequence-parallelism analog here). See
+    ngf_tpu/parallel/sample_parallel.py for the 'sample'-axis renderer."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_data * n_sample, (len(devices), n_data, n_sample)
+    grid = np.asarray(devices[: n_data * n_sample]).reshape(n_data, n_sample)
+    return Mesh(grid, ("data", "sample"))

@@ -372,6 +372,7 @@ class TriPlaneTrainer:
 
     def _event_update_alpha_mask(self, first: bool):
         """`InfoInv/main.py:320-332` / `TriPlane/main.py:329-343`."""
+        self._reset_prefetch()  # ray set / sampler about to change
         r = self.args.alpha_grid_res
         reso_mask = (r, r, r)
         self.alpha, new_aabb = update_alpha_mask(
@@ -445,18 +446,45 @@ class TriPlaneTrainer:
     # ------------------------------------------------------------------ train
 
     def _next_block(self, size: int):
-        """Host-side batch block (T, B, ...) for one scan call."""
-        rays = np.empty((size, self.args.batch_size, 6), np.float32)
-        rgbs = np.empty((size, self.args.batch_size, 3), np.float32)
-        for t in range(size):
-            ids = self.sampler.nextids()
-            rays[t] = self.all_rays[ids]
-            rgbs[t] = self.all_rgbs[ids]
-        return rays, rgbs
+        """Host-side batch block (T, B, ...) for one scan call. Serialized
+        by a lock: the prefetch worker and boundary-block builds share the
+        sampler's epoch-permutation state."""
+        if not hasattr(self, "_block_lock"):
+            self._block_lock = __import__("threading").Lock()
+        with self._block_lock:
+            rays = np.empty((size, self.args.batch_size, 6), np.float32)
+            rgbs = np.empty((size, self.args.batch_size, 3), np.float32)
+            for t in range(size):
+                ids = self.sampler.nextids()
+                rays[t] = self.all_rays[ids]
+                rgbs[t] = self.all_rgbs[ids]
+            return rays, rgbs
+
+    def _get_block(self, size: int):
+        """Prefetched block when the size matches steps_per_call (the steady
+        state): a background thread assembles the next block while the
+        device executes the current one — the DataLoader-workers analog
+        (`UV-Mapping/data/dtu.py:294-297`). Odd-sized boundary blocks are
+        built inline."""
+        if size != self.args.steps_per_call:
+            return self._next_block(size)
+        if getattr(self, "_prefetcher", None) is None:
+            from ..data.prefetch import BlockPrefetcher
+
+            self._prefetcher = BlockPrefetcher(lambda: self._next_block(size))
+        return self._prefetcher.next()
+
+    def _reset_prefetch(self):
+        """Drop prefetched blocks built from a stale ray set (called when
+        the training set or sampler is replaced, e.g. at mask events)."""
+        p = getattr(self, "_prefetcher", None)
+        if p is not None:
+            p.close()
+            self._prefetcher = None
 
     def train_block(self, size: int) -> np.ndarray:
         """Run ``size`` optimizer steps in one device call; returns MSEs."""
-        rays, rgbs = self._next_block(size)
+        rays, rgbs = self._get_block(size)
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, size)
         iterations = jnp.arange(self.iteration, self.iteration + size, dtype=jnp.int32)

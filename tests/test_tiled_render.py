@@ -246,3 +246,44 @@ class TestFusedFetch:
         np.testing.assert_allclose(
             np.asarray(o1["rgb_map"]), np.asarray(o2["rgb_map"]), atol=2e-5
         )
+
+
+class TestSampleParallel:
+    def test_sp_matches_dense_and_trains(self):
+        from ngf_tpu.parallel.mesh import make_mesh_2d
+        from ngf_tpu.parallel.sample_parallel import render_rays_sp
+
+        cfg, params, rays = _setup_scene("infoinv", True)
+        rcfg = RenderConfig(
+            aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)),
+            near=2.0, far=6.0, n_samples=96, step_size=0.033, white_bg=True,
+        )
+        mesh = make_mesh_2d(2, 4)
+
+        o1 = render_rays(params, cfg, rcfg, rays, None, is_train=False)
+        o2 = jax.jit(
+            lambda p, r: render_rays_sp(p, cfg, rcfg, r, None, mesh)
+        )(params, rays)
+        np.testing.assert_allclose(
+            np.asarray(o1["rgb_map"]), np.asarray(o2["rgb_map"]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1["acc_map"]), np.asarray(o2["acc_map"]), atol=1e-4
+        )
+
+        # differentiable: one train-style grad through the sharded renderer
+        target = jnp.zeros((rays.shape[0], 3))
+
+        def loss(p):
+            out = render_rays_sp(p, cfg, rcfg, rays, None, mesh)
+            return jnp.mean((out["rgb_map"] - target) ** 2)
+
+        def loss_dense(p):
+            out = render_rays(p, cfg, rcfg, rays, None, is_train=False)
+            return jnp.mean((out["rgb_map"] - target) ** 2)
+
+        g1 = jax.jit(jax.grad(loss))(params)
+        g2 = jax.grad(loss_dense)(params)
+        np.testing.assert_allclose(
+            np.asarray(g1["plane_xy"]), np.asarray(g2["plane_xy"]), atol=1e-4
+        )

@@ -143,6 +143,7 @@ def main(argv=None):
         print(f"resumed at step {start_step}")
 
     total_steps = start_step
+    prefetcher = None
     log_path = os.path.join(save_dir, "log.txt")
     acc: dict[str, float] = {}
     n_acc = 0
@@ -159,7 +160,18 @@ def main(argv=None):
                 boundaries.append(((total_steps // freq) + 1) * freq)
         target = min(b for b in boundaries if b > total_steps)
         block = min(max(1, opt.steps_per_call), target - total_steps)
-        items = [dataset.sample() for _ in range(block)]
+        if block == opt.steps_per_call:
+            # background sampling thread overlaps the device block — the
+            # DataLoader-workers analog (`UV-Mapping/data/dtu.py:294-297`).
+            if prefetcher is None:
+                from ngf_tpu.data.prefetch import BlockPrefetcher
+
+                prefetcher = BlockPrefetcher(
+                    lambda: [dataset.sample() for _ in range(opt.steps_per_call)]
+                )
+            items = prefetcher.next()
+        else:
+            items = [dataset.sample() for _ in range(block)]
         losses = trainer.train_block(items)
         total_steps += block
         n_acc += block
