@@ -119,6 +119,12 @@ class TrainArgs:
     # (-1: dense until the first occupancy grid, then the measured
     # 99.9th-percentile occupied-samples count — no silent truncation)
     rgb_cap: int = 0  # top-K shading capacity; 0 = all, -1 = sample_cap/4
+    # Pre-mask (open) stage capacity when sample_cap == -1: before the first
+    # occupancy grid exists there are no statistics to auto-tune from, and
+    # dense S=886 x 4096-ray scan blocks exceed HBM on a single v5e chip.
+    # 0 = dense; a value ~ the bbox-crossing span (e.g. 512 for lego-scale
+    # cubic scenes) drops almost nothing (out-of-bbox samples only).
+    open_sample_cap: int = 0
     mask_stride: int = 1  # occupancy lookup every K-th sample (see RenderConfig)
     group_size: int = 8  # sample-compaction group length (0 = round-1 path)
     run_len: int = 4  # samples served per tiled-gather descriptor

@@ -177,11 +177,13 @@ class TriPlaneTrainer:
             self.opt_state = self.optimizer.init(self.params)
 
     def _effective_sample_cap(self) -> int:
-        """Resolve sample_cap = -1 (auto): dense before the first occupancy
-        grid exists, then the measured 99.9th-percentile occupied-samples
-        capacity (set at mask events)."""
+        """Resolve sample_cap = -1 (auto): ``open_sample_cap`` before the
+        first occupancy grid exists (no statistics yet), then the measured
+        99.9th-percentile occupied-samples capacity (set at mask events)."""
         if self.args.sample_cap != -1:
             return self.args.sample_cap
+        if self.alpha is None and not hasattr(self, "_auto_cap"):
+            return self.args.open_sample_cap
         return getattr(self, "_auto_cap", 0)
 
     def _render_cfg(self, sample_cap: int | None = None) -> RenderConfig:

@@ -184,3 +184,14 @@ class TestCheckpoint:
         assert meta["x"] == 1
         np.testing.assert_array_equal(vol2, vol)
         np.testing.assert_array_equal(aabb2, aabb)
+
+
+class TestOpenSampleCap:
+    def test_auto_cap_uses_open_cap_before_mask(self, datasets):
+        train_ds, _ = datasets
+        trainer = TriPlaneTrainer(
+            tiny_args(sample_cap=-1, open_sample_cap=48), train_ds, None, None
+        )
+        assert trainer._render_cfg().sample_cap == 48  # pre-mask
+        trainer._auto_cap = 64
+        assert trainer._render_cfg().sample_cap == 64  # post-stats
