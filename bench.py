@@ -186,7 +186,7 @@ def main() -> None:
         sample_cap=int(os.environ.get("NGF_BENCH_CAP", default_cap)),
         rgb_cap=int(os.environ.get("NGF_BENCH_RGB_CAP", default_rgb)),
         steps_per_call=steps_per_call,
-        compute_dtype=os.environ.get("NGF_BENCH_DTYPE", "float32"),
+        compute_dtype=os.environ.get("NGF_BENCH_DTYPE", "bfloat16"),
         filter_rays=0,  # avoid an extra device compile; synthetic rays all hit
         mask_stride=int(os.environ.get("NGF_BENCH_MASK_STRIDE", "4")),
         group_size=int(os.environ.get("NGF_BENCH_GROUP", "8")),

@@ -137,7 +137,8 @@ class TrainArgs:
     fused_fetch: int = 0
     plane_res: int = 256  # reference hard-codes 256 (Field.py:14/17)
     gauge_res: int = 256
-    compute_dtype: str = "float32"  # 'bfloat16' for half-byte gathers + MXU
+    compute_dtype: str = "float32"  # reference-parity default; bfloat16 validated
+    # end-to-end on TPU at +0.23 dB vs f32 (NOTES.md round-2) and ~1.2x faster
     microbatch: int = 1  # gradient accumulation chunks per step (memory knob)
     steps_per_call: int = 64  # train steps fused into one device call (scan)
     alpha_grid_res: int = 256  # occupancy grid resolution (ref: main.py:324)
