@@ -107,14 +107,21 @@ PROBES = {
 
 
 def main() -> None:
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     names = sys.argv[1:] or list(PROBES)
     if len(sys.argv) > 1 and len(names) == 1:
         exec(textwrap.dedent(PROBES[names[0]]), {})  # in-process (child mode)
         return
     for name in names:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__))) + (
+            ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+        )
         r = subprocess.run(
             [sys.executable, __file__, name],
-            capture_output=True, text=True, timeout=1200,
+            capture_output=True, text=True, timeout=1200, env=env,
         )
         ok = "PROBE_OK" in r.stdout
         print(f"== {name}: {'OK' if ok else 'FAIL rc=' + str(r.returncode)}")
