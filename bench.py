@@ -155,7 +155,7 @@ def main() -> None:
     set_gather_impl(impl)
     # 4 steps/call: the compiled graph stays small enough for the remote XLA
     # service while amortizing the ~30ms dispatch round-trip.
-    steps_per_call = int(os.environ.get("NGF_BENCH_STEPS_PER_CALL", "4"))
+    steps_per_call = int(os.environ.get("NGF_BENCH_STEPS_PER_CALL", "8"))
     n_blocks = int(os.environ.get("NGF_BENCH_BLOCKS", "3"))
     stage = os.environ.get("NGF_BENCH_STAGE", "masked")
 

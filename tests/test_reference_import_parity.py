@@ -1,0 +1,108 @@
+"""Forward parity against the ACTUAL reference implementation.
+
+Imports the reference's torch model from the read-only mirror at
+`/root/reference/InfoInv` (nothing is copied — the reference runs as an
+external oracle, on CPU), loads OUR parameter values into it, and compares
+full forward renders on identical rays. This is the strongest parity
+evidence available without Synthetic-NeRF data: any mismatch in
+grid-sample semantics, PE layout, decoder wiring, sampling geometry or
+compositing shows up here directly against the original code
+(`InfoInv/models/Field.py`, `FieldBase.py:228-282`).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from ngf_tpu.fields import TriPlaneConfig, init_triplane
+from ngf_tpu.render import RenderConfig, render_rays
+
+REF_DIR = "/root/reference/InfoInv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference mirror not present"
+)
+
+
+def _import_reference():
+    sys.path.insert(0, REF_DIR)
+    try:
+        from models.Field import TriPlane as RefTriPlane  # noqa
+    finally:
+        sys.path.remove(REF_DIR)
+    return RefTriPlane
+
+
+def _load_our_params_into(ref_field, params):
+    p = jax.device_get(params)
+
+    def t(a):
+        return torch.from_numpy(np.array(a)).float()
+
+    with torch.no_grad():
+        for name in ("plane_xy", "plane_yz", "plane_xz"):
+            # our test planes are lower-res than the reference default 256;
+            # swap the whole Parameter (shapes differ)
+            setattr(
+                ref_field, name,
+                torch.nn.Parameter(t(p[name]).permute(2, 0, 1)[None].contiguous()),
+            )
+        for i, li in enumerate((0, 2, 4)):  # Linear positions in Sequential
+            lp = p["density_decoder"]["mlp"]["layers"][i]
+            ref_field.density_decoder.mlp[li].weight.copy_(t(lp["w"]).T)
+            ref_field.density_decoder.mlp[li].bias.copy_(t(lp["b"]))
+        ref_field.rgb_decoder.basis.weight.copy_(t(p["rgb_decoder"]["basis"]["w"]).T)
+        for i, li in enumerate((0, 2, 4)):
+            lp = p["rgb_decoder"]["mlp"]["layers"][i]
+            ref_field.rgb_decoder.mlp[li].weight.copy_(t(lp["w"]).T)
+            ref_field.rgb_decoder.mlp[li].bias.copy_(t(lp["b"]))
+
+
+@pytest.mark.parametrize("infoinv", [True, False])
+@pytest.mark.parametrize("grouped", [False, True])
+def test_full_forward_matches_actual_reference(infoinv, grouped):
+    if grouped and not infoinv:
+        pytest.skip("grouped-vs-dense equivalence is covered in test_tiled_render")
+    RefTriPlane = _import_reference()
+    aabb = torch.tensor([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    ref = RefTriPlane(aabb, [48, 48, 48], "cpu", near_far=[2.0, 6.0])
+
+    cfg = TriPlaneConfig(
+        **{**TriPlaneConfig.infoinv_preset(infoinv=infoinv).__dict__,
+           "plane_res": 64}
+    )
+    params = init_triplane(jax.random.PRNGKey(7), cfg)
+    _load_our_params_into(ref, params)
+
+    n_samples = int(ref.nSamples)
+    rcfg = RenderConfig(
+        aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)),
+        near=2.0, far=6.0,
+        n_samples=n_samples, step_size=float(ref.stepSize),
+        white_bg=True,
+        **({"group_size": 8, "run_len": 4} if grouped else {}),
+    )
+
+    g = torch.Generator().manual_seed(11)
+    d = torch.randn(64, 3, generator=g) * 0.25 + torch.tensor([0.0, 0.0, 1.0])
+    d = torch.nn.functional.normalize(d, dim=-1)
+    rays_t = torch.cat([torch.tensor([[0.0, 0.0, -4.0]]).repeat(64, 1), d], dim=-1)
+
+    with torch.no_grad():
+        out_ref = ref(rays_t, True, False, n_samples, infoinv)
+
+    out = jax.jit(
+        lambda p, r: render_rays(p, cfg, rcfg, r, None, is_train=False)
+    )(params, jnp.asarray(rays_t.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_map"]), out_ref["rgb_map"].numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth_map"]), out_ref["depth_map"].numpy(), atol=2e-3
+    )
