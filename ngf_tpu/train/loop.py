@@ -508,10 +508,14 @@ class TriPlaneTrainer:
             )
         )
         log_path = None
+        scalars = None
         if self.logfolder:
             os.makedirs(self.logfolder, exist_ok=True)
             os.makedirs(os.path.join(self.logfolder, "imgs_vis"), exist_ok=True)
             log_path = os.path.join(self.logfolder, "log.txt")
+            from ..utils.scalars import ScalarWriter
+
+            scalars = ScalarWriter(self.logfolder)
 
         psnrs_test = [0.0]
         mses_accum: list[float] = []
@@ -542,14 +546,20 @@ class TriPlaneTrainer:
                 mses = self.train_block(block)
                 mses_accum.extend(mses.tolist())
                 if log_path and (self.iteration % args.progress_refresh_rate < block):
+                    train_psnr = np.mean([mse2psnr(m) for m in mses_accum[-50:]])
                     line = (
                         f"Iteration {self.iteration:05d}:"
-                        f" train_psnr = {np.mean([mse2psnr(m) for m in mses_accum[-50:]]):.2f}"
+                        f" train_psnr = {train_psnr:.2f}"
                         f" test_psnr = {float(np.mean(psnrs_test)):.2f}"
                         f" mse = {mses_accum[-1]:.6f}"
                     )
                     with open(log_path, "a") as f:
                         f.write(line + "\n")
+                    scalars.write(
+                        self.iteration,
+                        {"train/psnr": train_psnr, "train/mse": mses_accum[-1],
+                         "train/l1_weight": self.l1_weight},
+                    )
                 if progress_cb:
                     progress_cb(self.iteration, mses_accum[-1] if mses_accum else None)
 
@@ -569,6 +579,7 @@ class TriPlaneTrainer:
                         f.write(
                             f"Iteration {it:05d}: test/psnr = {float(np.mean(psnrs_test)):.2f}\n"
                         )
+                    scalars.write(it, {"test/psnr": float(np.mean(psnrs_test))})
 
             if it in (args.update_AlphaMask_list or []):
                 self._event_update_alpha_mask(first=not first_mask_done)

@@ -142,8 +142,11 @@ def main(argv=None):
         start_step = int(meta.get("total_steps", trainer.step_count))
         print(f"resumed at step {start_step}")
 
+    from ngf_tpu.utils.scalars import ScalarWriter
+
     total_steps = start_step
     prefetcher = None
+    scalars = ScalarWriter(save_dir)
     log_path = os.path.join(save_dir, "log.txt")
     acc: dict[str, float] = {}
     n_acc = 0
@@ -187,6 +190,9 @@ def main(argv=None):
             print(msg)
             with open(log_path, "a") as f:
                 f.write(msg + "\n")
+            scalars.write(
+                total_steps, {f"loss/{k}": v / n_acc for k, v in acc.items()}
+            )
             acc, n_acc, t0 = {}, 0, time.time()
 
         if opt.test_freq > 0 and total_steps % opt.test_freq == 0 and opt.train_and_test:
