@@ -193,6 +193,7 @@ def main() -> None:
         run_len=int(os.environ.get("NGF_BENCH_RUN_LEN", "4")),
         tile_q=int(os.environ.get("NGF_BENCH_TILE_Q", "0")),
         fused_fetch=int(os.environ.get("NGF_BENCH_FUSED_FETCH", "0")),
+        pair_gather=int(os.environ.get("NGF_BENCH_PAIR", "0")),
     )
 
     t0 = time.time()

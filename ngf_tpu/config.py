@@ -132,6 +132,10 @@ class TrainArgs:
     # selection einsums lower to padded batched GEMMs, 468 ms/step vs the
     # blocks gather's 102 ms; see NOTES.md round-2 log before re-enabling).
     tile_q: int = 0
+    # pair_gather=1: plane gathers via overlapping 4x4 stride-2 duo tables,
+    # one descriptor per TWO consecutive samples (grouped path, even
+    # group_size; see ops/grid_sample.py:make_duo_table).
+    pair_gather: int = 0
     # fused_fetch=0: measured 130 ms/step vs 88 unfused on v5e (the full-row
     # gather + scatter bytes outweigh the saved rgb descriptors); see NOTES.
     fused_fetch: int = 0

@@ -102,10 +102,14 @@ class SyntheticDataset(RayDataset):
         dirs = get_ray_directions_blender(h, w, [focal, focal])
         self.directions = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
 
-        # interleave test azimuths between train azimuths
-        offset = 0.0 if split == "train" else 180.0 / max(n_views, 1)
+        # test cameras sit between train cameras (offset azimuth AND a
+        # different pair of elevations), guaranteeing genuinely novel views
+        if split == "train":
+            offset, elevs = 0.0, (-30.0, -12.0)
+        else:
+            offset, elevs = 37.5, (-24.0, -17.0)
         azim = np.linspace(-180, 180, n_views, endpoint=False) + offset
-        elev = np.where(np.arange(n_views) % 2 == 0, -30.0, -12.0)
+        elev = np.where(np.arange(n_views) % 2 == 0, elevs[0], elevs[1])
         self.poses = np.stack(
             [pose_spherical(a, e, 4.0) for a, e in zip(azim, elev)]
         )

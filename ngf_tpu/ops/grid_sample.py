@@ -253,6 +253,100 @@ def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*batch_shape, C)
 
 
+def make_duo_table(plane: jnp.ndarray) -> jnp.ndarray:
+    """Overlapping 4x4 tiles at stride-2 origins: ONE table row contains the
+    bilinear stencils of any TWO samples whose stencil starts differ by at
+    most 1 texel per axis.
+
+    Coverage: for a pair with per-axis stencil starts s_a, s_b
+    (|s_a - s_b| <= 1), the union of taps is the 3-texel window
+    [s_min, s_min + 2]. With the even origin o = s_min & ~1 we have
+    s_min - o in {0, 1}, so the window sits inside [o, o + 3] — a 4x4 tile
+    anchored at even coordinates always covers both stencils. The start
+    difference bound holds whenever consecutive samples move <= 1 texel per
+    step, which the trainer guarantees structurally: the plane resolution
+    tracks the voxel grid and step_size = step_ratio voxels with
+    step_ratio <= 1 (`ngf_tpu/train/loop.py:117-119`, matching
+    `InfoInv/main.py:218`).
+
+    Same 4x memory as :func:`make_block_table` (one overlapping-tile copy
+    instead of four parity copies), but HALF the gather/scatter descriptors
+    of the render step: one row serves two consecutive samples.
+
+    Returns (hb * wb, 16 * C) with hb = (H + 1) // 2, wb = (W + 1) // 2;
+    row (i, j) holds texels [2i, 2i + 3] x [2j, 2j + 3], zero-padded.
+    """
+    H, W, C = plane.shape
+    hb, wb = (H + 1) // 2, (W + 1) // 2
+    padded = jnp.pad(
+        plane, ((0, 2 * hb + 2 - H), (0, 2 * wb + 2 - W), (0, 0))
+    )
+    slabs = []
+    for dy in range(4):
+        row = []
+        for dx in range(4):
+            row.append(padded[dy : dy + 2 * hb : 2, dx : dx + 2 * wb : 2])
+        slabs.append(jnp.stack(row, axis=2))  # (hb, wb, 4, C)
+    tiles = jnp.stack(slabs, axis=2)  # (hb, wb, 4, 4, C)
+    return tiles.reshape(hb * wb, 16 * C)
+
+
+def grid_sample_2d_duo(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling with one gather per PAIR of consecutive samples.
+
+    Semantics identical to :func:`grid_sample_2d` (align_corners=True, zero
+    padding) PROVIDED samples (2k, 2k+1) along the last sample axis are
+    ray-consecutive with <= 1 texel movement per axis per step (see
+    :func:`make_duo_table`). Pairs violating the bound get the offending
+    taps zeroed (they would be garbage reads otherwise); the structural
+    guarantee makes that path unreachable in the shipped configs.
+
+    Args:
+      plane: (H, W, C).
+      coords: (..., M, 2) with M even; x -> W axis, y -> H axis.
+    """
+    H, W, C = plane.shape
+    hb, wb = (H + 1) // 2, (W + 1) // 2
+    table = make_duo_table(plane)
+    batch_shape = coords.shape[:-2]
+    M = coords.shape[-2]
+    assert M % 2 == 0, M
+    P = M // 2
+    coords = coords.reshape(-1, M, 2)
+    N = coords.shape[0]
+    dt = plane.dtype
+
+    x = _unnormalize(coords[..., 0], W)  # (N, M)
+    y = _unnormalize(coords[..., 1], H)
+    xs, wx0, wx1 = _axis_patch_weights(x, W)
+    ys, wy0, wy1 = _axis_patch_weights(y, H)
+
+    # pair-min stencil start -> even tile origin
+    ox = jnp.min(xs.reshape(N, P, 2), -1) & ~1  # (N, P)
+    oy = jnp.min(ys.reshape(N, P, 2), -1) & ~1
+    row = (oy >> 1) * wb + (ox >> 1)
+    tile = jnp.take(table, row, axis=0).reshape(N, P, 4, 4, C)
+
+    # per-sample tap offsets inside the tile, in {0, 1, 2} for honest pairs
+    offy = ys - jnp.repeat(oy, 2, axis=-1)
+    offx = xs - jnp.repeat(ox, 2, axis=-1)
+
+    # Static masked multiply-add chain (stays on the VPU; an einsum over the
+    # 16 tile texels lowers to padded per-pair GEMMs, the measured tile
+    # regression — see ops/tiled_sample.py note).
+    tmp = None
+    for dy in range(4):
+        cy = (wy0 * (offy == dy) + wy1 * (offy == dy - 1)).reshape(N, P, 2)
+        term = cy[..., None, None].astype(dt) * tile[:, :, None, dy]
+        tmp = term if tmp is None else tmp + term  # (N, P, 2, 4, C)
+    out = None
+    for dx in range(4):
+        cx = (wx0 * (offx == dx) + wx1 * (offx == dx - 1)).reshape(N, P, 2)
+        term = cx[..., None].astype(dt) * tmp[:, :, :, dx]
+        out = term if out is None else out + term  # (N, P, 2, C)
+    return out.reshape(*batch_shape, M, C)
+
+
 def make_block_table_3d(volume: jnp.ndarray) -> jnp.ndarray:
     """3D analogue of :func:`make_block_table`: 8 parity-shifted copies of
     the volume in 2x2x2 blocks, so a trilinear stencil is one table row.

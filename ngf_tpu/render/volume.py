@@ -92,6 +92,11 @@ class RenderConfig:
     # second (coords-based) gather for the rgb subset. More gathered bytes,
     # fewer descriptors.
     fused_fetch: bool = False
+    # Grouped path only: plane gathers via overlapping 4x4 stride-2 duo
+    # tables — ONE descriptor serves TWO consecutive samples (halves the
+    # dominant gather/scatter descriptor count; see
+    # ops/grid_sample.py:make_duo_table). Requires an even group_size.
+    pair_gather: bool = False
 
     @property
     def aabb_array(self) -> jnp.ndarray:
@@ -236,7 +241,12 @@ def _render_rays_grouped(
     pts_c = rays_o[:, None, :] + viewdirs[:, None, :] * z_c[..., None]
     xyz_n = normalize_coord(pts_c, aabb)
     xy, yz, xz = triplane_project(xyz_n)
-    sampler = make_runs_sampler(rcfg)
+    if rcfg.pair_gather:
+        if G % 2:
+            raise ValueError("pair_gather requires an even group_size")
+        sampler = lambda p, c, name: _gs.grid_sample_2d_duo(p, c)
+    else:
+        sampler = make_runs_sampler(rcfg)
     xy, yz, xz = triplane_gauge(
         params, model_cfg, xy, yz, xz, iteration, sample_fn=sampler
     )

@@ -207,6 +207,7 @@ class TriPlaneTrainer:
             run_len=self.args.run_len,
             tile_q=self.args.tile_q,
             fused_fetch=bool(self.args.fused_fetch),
+            pair_gather=bool(self.args.pair_gather),
         )
 
     def _build_step(self):

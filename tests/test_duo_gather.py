@@ -1,0 +1,113 @@
+"""Parity tests for the duo (pair-serving) plane gather.
+
+grid_sample_2d_duo must equal grid_sample_2d exactly whenever consecutive
+sample pairs move <= 1 texel per axis per step — the structural guarantee
+of the trainer's sampling geometry (step_ratio <= 1 texel voxels).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ngf_tpu.ops.grid_sample import grid_sample_2d, grid_sample_2d_duo
+
+
+def _pair_coords(rng, n, m, size, max_step_texels=1.0):
+    """(n, m, 2) coords where samples (2k, 2k+1) are <= max_step texels apart,
+    spanning in/near/out-of-range positions."""
+    base = rng.uniform(-1.3, 1.3, (n, m // 2, 2)).astype(np.float32)
+    texel = 2.0 / (size - 1)
+    delta = rng.uniform(-1, 1, (n, m // 2, 2)).astype(np.float32)
+    delta *= max_step_texels * texel
+    pairs = np.stack([base, base + delta], axis=2)  # (n, P, 2, 2)
+    return pairs.reshape(n, m, 2)
+
+
+class TestDuoGather:
+    @pytest.mark.parametrize("size", [8, 33, 64])
+    def test_matches_reference_sampler(self, size):
+        rng = np.random.default_rng(0)
+        plane = rng.normal(size=(size, size, 6)).astype(np.float32)
+        coords = _pair_coords(rng, 5, 32, size)
+        want = np.asarray(grid_sample_2d(jnp.asarray(plane), jnp.asarray(coords)))
+        got = np.asarray(grid_sample_2d_duo(jnp.asarray(plane), jnp.asarray(coords)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_identical_pair_members(self):
+        # degenerate pairs (edge-padded compaction) are valid inputs
+        rng = np.random.default_rng(1)
+        plane = rng.normal(size=(16, 16, 3)).astype(np.float32)
+        c = rng.uniform(-1, 1, (2, 8, 1, 2)).astype(np.float32)
+        coords = np.repeat(c, 2, axis=2).reshape(2, 16, 2)
+        want = np.asarray(grid_sample_2d(jnp.asarray(plane), jnp.asarray(coords)))
+        got = np.asarray(grid_sample_2d_duo(jnp.asarray(plane), jnp.asarray(coords)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_gradients_match(self):
+        rng = np.random.default_rng(2)
+        plane = rng.normal(size=(12, 12, 4)).astype(np.float32)
+        coords = jnp.asarray(_pair_coords(rng, 3, 8, 12))
+
+        def loss(fn, p):
+            return jnp.sum(fn(p, coords) ** 2)
+
+        g_ref = jax.grad(lambda p: loss(grid_sample_2d, p))(jnp.asarray(plane))
+        g_duo = jax.grad(lambda p: loss(grid_sample_2d_duo, p))(jnp.asarray(plane))
+        np.testing.assert_allclose(
+            np.asarray(g_duo), np.asarray(g_ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_render_rays_pair_gather_matches_default(self):
+        """Full grouped render step: pair_gather on == off (f32, CPU)."""
+        import dataclasses
+
+        from ngf_tpu.fields import TriPlaneConfig, init_triplane
+        from ngf_tpu.render import RenderConfig, render_rays
+
+        cfg = TriPlaneConfig(
+            **{**TriPlaneConfig.infoinv_preset(infoinv=True).__dict__,
+               "plane_res": 48, "gauge_res": 48}
+        )
+        params = init_triplane(jax.random.PRNGKey(0), cfg)
+        # perturb planes so features are non-trivial
+        params["plane_xy"] = params["plane_xy"] + 0.1
+
+        rng = np.random.default_rng(3)
+        d = rng.normal(size=(64, 3)).astype(np.float32) * 0.1 + [0, 0, 1]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(
+            np.concatenate([np.tile([[0.0, 0.0, -4.0]], (64, 1)), d], -1),
+            jnp.float32,
+        )
+        base = RenderConfig(
+            aabb=((-1.5,) * 3, (1.5,) * 3), near=2.0, far=6.0,
+            # step <= 1 texel: 3.0 extent / (48-1) texels
+            n_samples=64, step_size=0.06, white_bg=True,
+            sample_cap=32, rgb_cap=16, group_size=8,
+        )
+        out0 = render_rays(params, cfg, base, rays, None, is_train=False)
+        out1 = render_rays(
+            params, cfg, dataclasses.replace(base, pair_gather=True),
+            rays, None, is_train=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out1["rgb_map"]), np.asarray(out0["rgb_map"]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_odd_group_size_rejected(self):
+        from ngf_tpu.fields import TriPlaneConfig, init_triplane
+        from ngf_tpu.render import RenderConfig, render_rays
+
+        cfg = TriPlaneConfig.infoinv_preset(infoinv=True)
+        cfg = TriPlaneConfig(**{**cfg.__dict__, "plane_res": 16, "gauge_res": 16})
+        params = init_triplane(jax.random.PRNGKey(0), cfg)
+        rays = jnp.zeros((4, 6)).at[:, 5].set(1.0)
+        rcfg = RenderConfig(
+            aabb=((-1.5,) * 3, (1.5,) * 3), n_samples=16, step_size=0.1,
+            group_size=3, pair_gather=True,
+        )
+        with pytest.raises(ValueError, match="even group_size"):
+            render_rays(params, cfg, rcfg, rays, None, is_train=False)
