@@ -217,17 +217,41 @@ def main() -> None:
     log(f"[{time.time()-t0:5.1f}s] trainer built (stage={stage}, impl={impl}, "
         f"dtype={args.compute_dtype}, cap={args.sample_cap}, rgb={args.rgb_cap})")
 
-    mses = trainer.train_block(steps_per_call)  # compile + first block
-    log(f"[{time.time()-t0:5.1f}s] compiled + first block (mse={mses[-1]:.4f})")
+    fwd_only = os.environ.get("NGF_BENCH_FWD_ONLY", "0") == "1"
+    if fwd_only:
+        # Forward-only probe: isolates render-forward cost from
+        # backward+Adam (the difference to the full-step number is the
+        # backward/update cost — NOTES.md perf accounting).
+        import jax
 
-    best = float("inf")
-    for b in range(n_blocks):
-        t1 = time.perf_counter()
-        mses = trainer.train_block(steps_per_call)
-        np.asarray(mses)  # host sync
-        dt = (time.perf_counter() - t1) / steps_per_call
-        best = min(best, dt)
-        log(f"[{time.time()-t0:5.1f}s] block {b}: {dt*1000:.1f} ms/step")
+        fwd = trainer.make_forward_block()
+        rays, rgbs = trainer._next_block(steps_per_call)
+        keys = jax.random.split(jax.random.PRNGKey(0), steps_per_call)
+        import jax.numpy as jnp
+
+        its = jnp.arange(steps_per_call, dtype=jnp.int32)
+        args_f = (trainer.params, jnp.asarray(rays), jnp.asarray(rgbs), keys, its)
+        mses = np.asarray(fwd(*args_f))
+        log(f"[{time.time()-t0:5.1f}s] fwd-only compiled (mse={mses[-1]:.4f})")
+        best = float("inf")
+        for b in range(n_blocks):
+            t1 = time.perf_counter()
+            mses = np.asarray(fwd(*args_f))
+            dt = (time.perf_counter() - t1) / steps_per_call
+            best = min(best, dt)
+            log(f"[{time.time()-t0:5.1f}s] fwd block {b}: {dt*1000:.1f} ms/step")
+    else:
+        mses = trainer.train_block(steps_per_call)  # compile + first block
+        log(f"[{time.time()-t0:5.1f}s] compiled + first block (mse={mses[-1]:.4f})")
+
+        best = float("inf")
+        for b in range(n_blocks):
+            t1 = time.perf_counter()
+            mses = trainer.train_block(steps_per_call)
+            np.asarray(mses)  # host sync
+            dt = (time.perf_counter() - t1) / steps_per_call
+            best = min(best, dt)
+            log(f"[{time.time()-t0:5.1f}s] block {b}: {dt*1000:.1f} ms/step")
 
     rays_per_sec = args.batch_size / best
     assert np.isfinite(mses).all()
@@ -235,7 +259,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"{config}_lego_train_throughput",
+                "metric": f"{config}_lego_{'fwd' if fwd_only else 'train'}_throughput",
                 "value": round(float(rays_per_sec), 1),
                 "unit": "rays/sec",
                 "vs_baseline": round(float(rays_per_sec / REF_RAYS_PER_SEC), 3),

@@ -22,12 +22,15 @@ from .geometry import (
 )
 
 # Blob parameters: centers inside the unit ball, widths small enough that
-# the sigma>1 iso-surface (what `updateAlphaMask` keeps) covers a compact
-# fraction of the [-1.5, 1.5]^3 bbox.
+# the sigma>1 iso-surface (what `updateAlphaMask` keeps) covers a compact,
+# lego-like fraction of the [-1.5, 1.5]^3 bbox — measured 2.3% occupied at
+# 64^3 and p99.9 ~ 250 occupied samples per ray at the 886-sample lego
+# marching geometry (vs the reference lego object's few-hundred), so the
+# alpha-mask stage transition compacts the workload realistically.
 _CENTERS = np.array(
-    [[0.55, 0.0, -0.1], [-0.4, 0.35, 0.15], [0.0, -0.4, 0.4]], np.float32
+    [[0.34, 0.0, -0.06], [-0.25, 0.2, 0.1], [0.0, -0.24, 0.26]], np.float32
 )
-_WIDTHS = np.array([0.26, 0.22, 0.20], np.float32)
+_WIDTHS = np.array([0.16, 0.14, 0.13], np.float32)
 _AMPS = np.array([32.0, 28.0, 30.0], np.float32)
 _COLORS = np.array(
     [[0.85, 0.3, 0.2], [0.2, 0.7, 0.9], [0.9, 0.8, 0.25]], np.float32
@@ -83,11 +86,22 @@ class SyntheticDataset(RayDataset):
 
     def __init__(self, datadir=None, split="train", downsample=1.0,
                  is_stack=None, n_views=None, wh=None, n_vis=-1):
-        del datadir, n_vis
+        del n_vis
+        # The --datadir flag doubles as the scene spec:
+        #   "synthetic:views=30,wh=128[,test_views=6]"
+        opts = {}
+        if isinstance(datadir, str) and ":" in datadir:
+            for kv in datadir.split(":", 1)[1].split(","):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    opts[k.strip()] = int(v)
         if n_views is None:
-            n_views = 6 if split == "train" else 2
+            if split == "train":
+                n_views = opts.get("views", 6)
+            else:
+                n_views = opts.get("test_views", max(2, opts.get("views", 10) // 5))
         if wh is None:
-            s = int(round(48 / downsample))
+            s = int(round(opts.get("wh", 48) / downsample))
             wh = (s, s)
         w, h = wh
         self.img_wh = (int(w), int(h))

@@ -327,6 +327,34 @@ class TriPlaneTrainer:
         else:
             self._step = jax.jit(block, donate_argnums=(0, 1))
 
+    def make_forward_block(self):
+        """Forward-only scan block (no grads/optimizer): the profiling probe
+        that splits forward cost from backward+update cost (NOTES.md perf
+        accounting). Same render config/stage as the train step."""
+        model_cfg = self.model_cfg
+        rcfg = self._render_cfg()
+        alpha = self.alpha
+        vols = (
+            (alpha.volume, alpha.aabb, alpha.table)
+            if alpha is not None
+            else (None, None, None)
+        )
+
+        def block(params, rays, rgbs, keys, iterations):
+            def body(_, xs):
+                r, g, k, it = xs
+                out = render_rays(
+                    params, model_cfg, rcfg, r, k,
+                    is_train=True, iteration=it,
+                    alpha_volume=vols[0], alpha_aabb=vols[1], alpha_table=vols[2],
+                )
+                return None, jnp.mean((out["rgb_map"] - g) ** 2)
+
+            _, mses = jax.lax.scan(body, None, (rays, rgbs, keys, iterations))
+            return mses
+
+        return jax.jit(block)
+
     def make_eval_render_fn(self, iteration: int | None = None):
         """Compiled chunk renderer for the current stage.
 
