@@ -107,6 +107,13 @@ def main(argv=None):
     save_dir = os.path.join(opt.checkpoints_dir, opt.name)
     os.makedirs(save_dir, exist_ok=True)
 
+    # Archive the resolved options (`UV-Mapping/options.py:113-133`).
+    with open(os.path.join(save_dir, "opt.txt"), "w") as f:
+        f.write("------------ Options -------------\n")
+        for k, v in sorted(vars(opt).items()):
+            f.write(f"{k}: {v}\n")
+        f.write("-------------- End ----------------\n")
+
     cfg = NeuTexConfig(
         primitive_type=opt.primitive_type,
         sample_num=opt.sample_num,
