@@ -4,6 +4,10 @@
 Format: ``transforms_{split}.json`` with explicit ``w``/``h``/``cx``/``cy``
 and both camera angles (typically produced by ``tools/colmap2nerf.py``).
 Near/far (0.1, 100.0), white background, bbox [-1.5, 1.5]^3.
+
+Deliberate fix vs the reference: `your_own_data.py:48` keeps cx/cy at
+full resolution while w/h are downsampled (a latent bug for any
+downsample != 1); here the principal point is scaled with the image.
 """
 
 from __future__ import annotations
