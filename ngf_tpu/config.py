@@ -125,6 +125,9 @@ class TrainArgs:
     # 0 = dense; a value ~ the bbox-crossing span (e.g. 512 for lego-scale
     # cubic scenes) drops almost nothing (out-of-bbox samples only).
     open_sample_cap: int = 0
+    # with sample_cap=-1: manual post-mask capacity overriding the measured
+    # p99.9 auto-cap (0 = use the measurement)
+    masked_sample_cap: int = 0
     mask_stride: int = 1  # occupancy lookup every K-th sample (see RenderConfig)
     group_size: int = 8  # sample-compaction group length (0 = round-1 path)
     run_len: int = 4  # samples served per tiled-gather descriptor

@@ -179,11 +179,16 @@ class TriPlaneTrainer:
     def _effective_sample_cap(self) -> int:
         """Resolve sample_cap = -1 (auto): ``open_sample_cap`` before the
         first occupancy grid exists (no statistics yet), then the measured
-        99.9th-percentile occupied-samples capacity (set at mask events)."""
+        99.9th-percentile occupied-samples capacity (set at mask events) —
+        or ``masked_sample_cap`` when set, overriding the measured value
+        (the per-stage manual knob; open-stage capping below the valid
+        count measurably destroys quality, NOTES.md)."""
         if self.args.sample_cap != -1:
             return self.args.sample_cap
         if self.alpha is None and not hasattr(self, "_auto_cap"):
             return self.args.open_sample_cap
+        if self.args.masked_sample_cap > 0:
+            return self.args.masked_sample_cap
         return getattr(self, "_auto_cap", 0)
 
     def _render_cfg(self, sample_cap: int | None = None) -> RenderConfig:
