@@ -28,9 +28,9 @@ from .geometry import (
 # marching geometry (vs the reference lego object's few-hundred), so the
 # alpha-mask stage transition compacts the workload realistically.
 _CENTERS = np.array(
-    [[0.34, 0.0, -0.06], [-0.25, 0.2, 0.1], [0.0, -0.24, 0.26]], np.float32
+    [[0.24, 0.0, -0.05], [-0.18, 0.14, 0.07], [0.0, -0.17, 0.18]], np.float32
 )
-_WIDTHS = np.array([0.16, 0.14, 0.13], np.float32)
+_WIDTHS = np.array([0.095, 0.085, 0.08], np.float32)
 _AMPS = np.array([32.0, 28.0, 30.0], np.float32)
 _COLORS = np.array(
     [[0.85, 0.3, 0.2], [0.2, 0.7, 0.9], [0.9, 0.8, 0.25]], np.float32
