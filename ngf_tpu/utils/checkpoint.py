@@ -51,14 +51,7 @@ def _unflatten(flat: dict[str, np.ndarray]) -> Any:
     return listify(root)
 
 
-def save_checkpoint(
-    path: str,
-    params: Any,
-    meta: dict | None = None,
-    alpha_volume: np.ndarray | None = None,
-    alpha_aabb: np.ndarray | None = None,
-) -> None:
-    """Write params (+ optional binary occupancy volume) to ``path`` (.npz)."""
+def _pack(params, meta, alpha_volume, alpha_aabb):
     arrays = {f"param/{k}": v for k, v in _flatten(jax.device_get(params)).items()}
     blob = dict(meta or {})
     if alpha_volume is not None:
@@ -67,13 +60,54 @@ def save_checkpoint(
         arrays["alphaMask/aabb"] = np.asarray(alpha_aabb, np.float32)
         blob["alphaMask.shape"] = list(vol.shape)
     arrays["meta"] = np.frombuffer(json.dumps(blob).encode(), dtype=np.uint8)
+    return arrays
+
+
+def save_checkpoint(
+    path: str,
+    params: Any,
+    meta: dict | None = None,
+    alpha_volume: np.ndarray | None = None,
+    alpha_aabb: np.ndarray | None = None,
+    backend: str = "npz",
+) -> None:
+    """Write params (+ optional binary occupancy volume) to ``path``.
+
+    backend='npz' (default): one self-contained .npz file.
+    backend='orbax': an Orbax PyTree checkpoint DIRECTORY at ``path`` —
+    the production-scale option (async-capable, multi-host sharded
+    restore); same logical content, so either backend round-trips through
+    :func:`load_checkpoint` (which dispatches on file-vs-directory).
+    """
+    arrays = _pack(params, meta, alpha_volume, alpha_aabb)
+    if backend == "orbax":
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ocp.PyTreeCheckpointer().save(path, arrays, force=True)
+        return
+    if backend != "npz":
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     np.savez(path, **arrays)
 
 
 def load_checkpoint(path: str):
-    """Returns (params, meta, alpha_volume|None, alpha_aabb|None)."""
-    with np.load(path) as z:
-        arrays = {k: z[k] for k in z.files}
+    """Returns (params, meta, alpha_volume|None, alpha_aabb|None).
+
+    Accepts either backend: a .npz file or an Orbax checkpoint directory.
+    """
+    import os
+
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        arrays = {k: np.asarray(v) for k, v in restored.items()}
+    else:
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
     meta = json.loads(bytes(arrays.pop("meta")).decode())
     alpha_volume = alpha_aabb = None
     if "alphaMask/mask" in arrays:

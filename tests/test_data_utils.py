@@ -146,3 +146,34 @@ class TestSyntheticScene:
         imgs = ds.all_rgbs.reshape(2, 24 * 24, 3)
         assert imgs.std() > 0.05  # not all-white
         assert imgs.max() <= 1.0 and imgs.min() >= 0.0
+
+
+class TestOrbaxCheckpointBackend:
+    def test_roundtrip_matches_npz(self, tmp_path):
+        import os
+
+        from ngf_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        rng = np.random.default_rng(0)
+        params = {
+            "plane": rng.normal(size=(8, 8, 3)).astype(np.float32),
+            "mlp": {"layers": [{"w": rng.normal(size=(4, 4)).astype(np.float32),
+                                "b": np.zeros(4, np.float32)}]},
+        }
+        vol = (rng.uniform(size=(5, 6, 7)) > 0.5).astype(np.float32)
+        aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+
+        p_npz = os.path.join(tmp_path, "m.npz")
+        p_orb = os.path.join(tmp_path, "m_orbax")
+        save_checkpoint(p_npz, params, {"x": 3}, vol, aabb)
+        save_checkpoint(p_orb, params, {"x": 3}, vol, aabb, backend="orbax")
+
+        for p in (p_npz, p_orb):
+            pr, meta, v2, a2 = load_checkpoint(p)
+            assert meta["x"] == 3
+            np.testing.assert_array_equal(pr["plane"], params["plane"])
+            np.testing.assert_array_equal(
+                pr["mlp"]["layers"][0]["w"], params["mlp"]["layers"][0]["w"]
+            )
+            np.testing.assert_array_equal(v2, vol)
+            np.testing.assert_array_equal(a2, aabb)
