@@ -25,7 +25,8 @@ Two stages (NGF_BENCH_STAGE):
 Knobs via env: NGF_BENCH_STEPS_PER_CALL, NGF_BENCH_BLOCKS, NGF_GATHER_IMPL
 (blocks|patch|pairs|rows), NGF_BENCH_DTYPE (float32|bfloat16),
 NGF_BENCH_CAP, NGF_BENCH_RGB_CAP, NGF_BENCH_MICRO, NGF_BENCH_GROUP,
-NGF_BENCH_RUN_LEN, NGF_BENCH_TILE_Q, NGF_BENCH_CONFIG (infoinv|gauge|uv).
+NGF_BENCH_RUN_LEN, NGF_BENCH_TILE_Q, NGF_BENCH_PAIR, NGF_BENCH_FWD_ONLY,
+NGF_BENCH_RENDER_CHUNK, NGF_BENCH_CONFIG (infoinv|gauge|uv|render).
 """
 
 from __future__ import annotations
@@ -135,6 +136,40 @@ def bench_uv() -> dict:
     }
 
 
+def bench_render(trainer, t0: float) -> dict:
+    """Serving/eval throughput: the compiled chunk renderer (forward only,
+    masked stage, eval caps) at the eval chunk size — the number a render
+    server sees. One compiled program."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    chunk = int(os.environ.get("NGF_BENCH_RENDER_CHUNK", "16384"))
+    n_blocks = int(os.environ.get("NGF_BENCH_BLOCKS", "3"))
+    fn = trainer.make_eval_render_fn()
+    rays = jnp.asarray(trainer.all_rays[:chunk])
+    rgb, _ = fn(rays)
+    float(rgb[0, 0])  # host sync (block_until_ready returns early on axon)
+    log(f"[{time.time()-t0:5.1f}s] render compiled")
+    best = float("inf")
+    for b in range(n_blocks):
+        t1 = time.perf_counter()
+        for _ in range(4):
+            rgb, _ = fn(rays)
+        float(rgb[0, 0])
+        dt = (time.perf_counter() - t1) / 4
+        best = min(best, dt)
+        log(f"[{time.time()-t0:5.1f}s] render block {b}: {dt*1000:.1f} ms "
+            f"({chunk/dt/1e3:.1f}k rays/s)")
+    assert np.isfinite(np.asarray(rgb)).all()
+    return {
+        "metric": "infoinv_lego_render_throughput",
+        "value": round(chunk / best, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(chunk / best / REF_RAYS_PER_SEC, 3),
+    }
+
+
 def main() -> None:
     import numpy as np
 
@@ -168,7 +203,7 @@ def main() -> None:
     args = TrainArgs(
         subsystem="triplane" if config == "gauge" else "infoinv",
         gauge_start=0 if config == "gauge" else 30000,
-        infoinv=(config == "infoinv"),
+        infoinv=(config in ("infoinv", "render")),
         dataset_name="synthetic",
         batch_size=4096,
         n_iters=30000,
@@ -216,6 +251,10 @@ def main() -> None:
         trainer._build_step()
     log(f"[{time.time()-t0:5.1f}s] trainer built (stage={stage}, impl={impl}, "
         f"dtype={args.compute_dtype}, cap={args.sample_cap}, rgb={args.rgb_cap})")
+
+    if config == "render":
+        print(json.dumps(bench_render(trainer, t0)))
+        return
 
     fwd_only = os.environ.get("NGF_BENCH_FWD_ONLY", "0") == "1"
     if fwd_only:
