@@ -85,13 +85,19 @@ class _DtuSamplingBase:
         n_fg = min(int(s * s * 2.0 / 3.0), fg_yx.shape[0])
         n_bg = s * s - n_fg
         fi = self._rng.integers(0, fg_yx.shape[0], n_fg)
-        bi = self._rng.integers(0, max(bg_yx.shape[0], 1), n_bg)
+        trans = np.zeros(n_fg + n_bg, np.float32)
         if bg_yx.shape[0] == 0:
-            bg_yx = fg_yx[:1]
+            # No background in this view: fill the bg slots with more
+            # foreground pixels and give them the FOREGROUND target (a
+            # transmittance-1 target on a real object ray would fight the
+            # color loss every time the view is sampled).
+            bg_yx = fg_yx
+            bi = self._rng.integers(0, fg_yx.shape[0], n_bg)
+        else:
+            bi = self._rng.integers(0, bg_yx.shape[0], n_bg)
+            trans[n_fg:] = 1.0
         px = np.concatenate([fg_yx[fi, 1], bg_yx[bi, 1]]).astype(np.float32)
         py = np.concatenate([fg_yx[fi, 0], bg_yx[bi, 0]]).astype(np.float32)
-        trans = np.zeros(n_fg + n_bg, np.float32)
-        trans[n_fg:] = 1.0
         return px, py, trans
 
     def get_item(self, idx: int) -> dict:
@@ -140,15 +146,18 @@ class DtuDataset(_DtuSamplingBase):
         self.extrinsics = np.load(os.path.join(d, "in_camExtrinsics.npy"))
         self.total = self.campos.shape[0]
 
+        def _view_list(text: str) -> list[int]:
+            return [int(x) for x in text.strip().split(",") if x.strip()]
+
         exclude = []
         if os.path.isfile(os.path.join(d, "exclude.txt")):
             with open(os.path.join(d, "exclude.txt")) as f:
-                exclude = [int(x) for x in f.readline().strip().split(",")]
+                exclude = _view_list(f.readline())
         if os.path.isfile(os.path.join(d, "test_views.txt")):
             with open(os.path.join(d, "test_views.txt")) as f:
-                tviews = [int(x) for x in f.readline().strip().split(",")]
+                tviews = _view_list(f.readline())
         else:
-            tviews = [int(x) for x in str(test_views).split(",")]
+            tviews = _view_list(str(test_views))
 
         if use_test_data:
             self.indexes = tviews

@@ -63,6 +63,9 @@ class LLFFDataset(RayDataset):
 
         self.render_path = get_spiral(self.poses, near_fars, n_views=120)
         self.directions = get_ray_directions_blender(h, w, self.focal)
+        # all_rays are NDC-projected below; novel-path rays must be too
+        # (consumed by render/evaluation.py:evaluation_path).
+        self.ndc_params = (h, w, float(self.focal[0]), 1.0)
 
         i_test = np.arange(0, self.poses.shape[0], hold_every)
         if split == "train":

@@ -13,6 +13,7 @@ import os
 
 import numpy as np
 
+from .blender import BLENDER2OPENCV
 from .dataset import RayDataset
 from .geometry import get_ray_directions, get_rays, spherical_path
 from .image_io import load_image
@@ -76,4 +77,8 @@ class NSVFDataset(RayDataset):
 
         self.poses = np.stack(poses)
         self._finalize(rays_list, rgbs_list)
-        self.render_path = spherical_path(40, phi=-30.0, radius=4.0)
+        # directions here are OpenCV-convention; convert the Blender-style
+        # orbit poses accordingly (same as blender.py does for its frames).
+        self.render_path = np.asarray(
+            spherical_path(40, phi=-30.0, radius=4.0) @ BLENDER2OPENCV, np.float32
+        )

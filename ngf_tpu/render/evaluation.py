@@ -160,9 +160,17 @@ def evaluation_path(
         os.makedirs(os.path.join(save_path, "rgbd"), exist_ok=True)
 
     w, h = test_dataset.img_wh
+    # LLFF-style datasets train in NDC space; novel-path rays must be
+    # projected the same way (the loader exposes its projection params).
+    ndc = getattr(test_dataset, "ndc_params", None)
     rgb_frames, depth_frames = [], []
     for idx, c2w in enumerate(c2ws):
         rays_o, rays_d = get_rays(test_dataset.directions, np.asarray(c2w, np.float32))
+        if ndc is not None:
+            from ..data.geometry import ndc_rays_blender
+
+            nh, nw, nf, nnear = ndc
+            rays_o, rays_d = ndc_rays_blender(nh, nw, nf, nnear, rays_o, rays_d)
         rays = np.concatenate([rays_o, rays_d], 1)
         rgb, depth = render_image(render_fn, rays, chunk)
         rgb = np.clip(rgb, 0, 1).reshape(h, w, 3)

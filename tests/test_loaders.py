@@ -189,3 +189,41 @@ class TestDTUSampling:
             )
             item = ds.get_item(0)
             assert item["raydir"].shape[1] == n
+
+
+class TestRenderPathConventions:
+    def test_nsvf_orbit_faces_scene(self, nsvf_dir):
+        """Regression: the orbit poses must be converted to the loader's
+        OpenCV direction convention or every path frame faces away."""
+        from ngf_tpu.data.geometry import get_rays
+
+        ds = dataset_dict["nsvf"](nsvf_dir, split="test", downsample=100.0, wh=(800, 800))
+        center = ds.scene_bbox.mean(0)
+        h, w = ds.directions.shape[:2]
+        for c2w in ds.render_path[::13]:
+            o, d = get_rays(ds.directions, c2w)
+            mid = d[(h // 2) * w + w // 2]
+            to_scene = center - o[0]
+            cos = (mid @ to_scene) / (
+                np.linalg.norm(mid) * np.linalg.norm(to_scene) + 1e-9
+            )
+            assert cos > 0.9, cos
+
+    def test_llff_exposes_ndc_params(self, llff_dir):
+        ds = dataset_dict["llff"](llff_dir, split="test", downsample=1.0)
+        h, w, f, near = ds.ndc_params
+        assert (w, h) == ds.img_wh and near == 1.0
+
+
+class TestBalancedFallback:
+    def test_all_foreground_mask_gets_fg_targets(self):
+        from ngf_tpu.data.dtu import SyntheticDtuDataset
+
+        ds = SyntheticDtuDataset(
+            n_views=1, wh=(16, 16), random_sample="balanced",
+            random_sample_size=6, seed=0,
+        )
+        ds.gt_mask[0][:] = 1.0  # no background anywhere
+        item = ds.get_item(0)
+        # every sampled pixel is foreground -> no transmittance-1 targets
+        assert (item["transmittance"] == 0).all()
