@@ -316,6 +316,10 @@ def grid_sample_2d_duo(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     N = coords.shape[0]
     dt = plane.dtype
 
+    # Index/weight math in f32 regardless of compute dtype: bf16 coord
+    # rounding (~0.5 texel at 256-res planes) could push a pair's stencil
+    # starts > 1 texel apart, and the 4x4 tile has no slack for that.
+    coords = coords.astype(jnp.float32)
     x = _unnormalize(coords[..., 0], W)  # (N, M)
     y = _unnormalize(coords[..., 1], H)
     xs, wx0, wx1 = _axis_patch_weights(x, W)

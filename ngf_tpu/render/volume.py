@@ -221,11 +221,23 @@ def _render_rays_grouped(
 
     if alpha_volume is not None:
         a_aabb = aabb if alpha_aabb is None else alpha_aabb
-        centers = pts[:, G // 2 :: G]  # (n, ng, 3)
-        occ = _sample_alpha_volume(
-            alpha_volume, normalize_coord(centers, a_aabb), alpha_table
-        ) > 0
-        valid = valid & jnp.repeat(occ, G, axis=1)
+        if G >= 4:
+            # Two queries per group (quarter + three-quarter points): every
+            # sample is <= G/4 steps from its query point, which at
+            # step_ratio 0.5 stays inside the reference's 3x3x3 mask
+            # dilation (1 voxel) even for G=8 — the single group-center
+            # query left edge samples 2 voxels away (review finding).
+            q = pts[:, G // 4 :: G // 2]  # (n, 2*ng, 3)
+            occ = _sample_alpha_volume(
+                alpha_volume, normalize_coord(q, a_aabb), alpha_table
+            ) > 0
+            valid = valid & jnp.repeat(occ, G // 2, axis=1)[:, : valid.shape[1]]
+        else:
+            centers = pts[:, G // 2 :: G]  # (n, ng, 3)
+            occ = _sample_alpha_volume(
+                alpha_volume, normalize_coord(centers, a_aabb), alpha_table
+            ) > 0
+            valid = valid & jnp.repeat(occ, G, axis=1)
 
     gvalid = valid.reshape(n, ng, G).any(-1)
     cap = rcfg.sample_cap if rcfg.sample_cap else S
@@ -246,6 +258,14 @@ def _render_rays_grouped(
             raise ValueError("pair_gather requires an even group_size")
         sampler = lambda p, c, name: _gs.grid_sample_2d_duo(p, c)
     else:
+        if rcfg.tile_q > 0 and rcfg.run_len > 1 and G % rcfg.run_len:
+            # Runs must not straddle compacted group boundaries (samples
+            # across groups are not ray-consecutive, breaking the tiled
+            # sampler's coverage precondition).
+            raise ValueError(
+                f"tiled runs require group_size % run_len == 0, got "
+                f"{G} % {rcfg.run_len}"
+            )
         sampler = make_runs_sampler(rcfg)
     xy, yz, xz = triplane_gauge(
         params, model_cfg, xy, yz, xz, iteration, sample_fn=sampler
@@ -378,11 +398,21 @@ def render_rays(
         a_aabb = aabb if alpha_aabb is None else alpha_aabb
         stride = max(1, rcfg.mask_stride)
         if stride > 1:
-            sub = pts[:, ::stride]
+            # Query at the window CENTER so the farthest member is
+            # stride/2 steps away (a start-anchored query leaves the last
+            # member stride-1 steps past the lookup — review finding).
+            sub = pts[:, stride // 2 :: stride]
             a_sub = _sample_alpha_volume(
                 alpha_volume, normalize_coord(sub, a_aabb), alpha_table
             )
-            alphas = jnp.repeat(a_sub, stride, axis=1)[:, : pts.shape[1]]
+            alphas = jnp.repeat(a_sub, stride, axis=1)
+            if alphas.shape[1] < pts.shape[1]:  # tail window, center clipped
+                alphas = jnp.concatenate(
+                    [alphas,
+                     jnp.repeat(alphas[:, -1:], pts.shape[1] - alphas.shape[1], 1)],
+                    axis=1,
+                )
+            alphas = alphas[:, : pts.shape[1]]
         else:
             alphas = _sample_alpha_volume(
                 alpha_volume, normalize_coord(pts, a_aabb), alpha_table
@@ -454,6 +484,7 @@ def compute_alpha_grid_chunk(
     step_size: float,
     alpha_volume: jnp.ndarray | None = None,
     alpha_aabb: jnp.ndarray | None = None,
+    alpha_table: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Alpha at arbitrary 3D locations (`Base.compute_alpha`,
     `InfoInv/models/FieldBase.py:140-159`).
@@ -465,7 +496,9 @@ def compute_alpha_grid_chunk(
     mask = jnp.ones(xyz.shape[:-1], dtype=bool)
     if alpha_volume is not None:
         a_aabb = aabb if alpha_aabb is None else alpha_aabb
-        prev = _sample_alpha_volume(alpha_volume, normalize_coord(xyz, a_aabb))
+        prev = _sample_alpha_volume(
+            alpha_volume, normalize_coord(xyz, a_aabb), alpha_table
+        )
         mask = prev > 0
     xyz_n = normalize_coord(xyz, aabb)
     xy, yz, xz = triplane_project(xyz_n)

@@ -151,7 +151,15 @@ class TriPlaneTrainer:
         ups = self.args.upsamp_list or []
         if not ups:
             return []
-        # exp-interpolated N_voxel_init -> final (`TriPlane/main.py:246-247`)
+        # exp-interpolated N_voxel_init -> final. NOTE: the reference's
+        # ACTIVE code (`TriPlane/main.py:248-249`) interpolates exactly
+        # len(upsamp_list) points INCLUDING N_voxel_init (the drop-first
+        # `[1:]` variant at :246-247 is commented out), and its grid starts
+        # at the hardcoded 256^3 (`main.py:218`) regardless of N_voxel_init
+        # — so with N_voxel_init < 256^3 the first "upsample" event shrinks
+        # the grid in BOTH codebases. Reproduced faithfully; the shipped
+        # lego config uses N_voxel_init = 256^3, where the first event is a
+        # no-op resize.
         return [
             int(round(v))
             for v in np.exp(
@@ -418,6 +426,10 @@ class TriPlaneTrainer:
             self.step_size,
             grid_size=reso_mask,
             alpha_thres=self.args.alpha_mask_thre,
+            # The reference's compute_alpha pre-culls with the EXISTING
+            # mask at later events (`FieldBase.py:140-159`), keeping the
+            # occupancy monotone-shrinking.
+            prev=self.alpha,
         )
         if first:
             self.l1_weight = self.args.L1_weight_rest  # `InfoInv/main.py:328`
@@ -451,7 +463,14 @@ class TriPlaneTrainer:
         self._build_step()
 
     def _event_shrink(self, new_aabb: np.ndarray):
-        """`TriPlane/models/Field.py:117-132` + init_para re-derivation."""
+        """`TriPlane/models/Field.py:117-132` + init_para re-derivation.
+
+        Gauge grids are deliberately NOT cropped: the reference's shrink
+        touches only plane_xy/yz/xz and leaves the fixed 256^2 gauge grids
+        spanning the (new) normalized [-1, 1] square (`Field.py:126-128` —
+        the learned offsets are spatially remapped by the shrink there
+        too). Faithful reproduction.
+        """
         t_l, b_r = shrink_box_voxels(self.aabb, new_aabb, self.grid_size)
         self.params = shrink_planes(self.params, t_l, b_r)
         new_size = (b_r - t_l).astype(int)

@@ -95,13 +95,17 @@ def update_alpha_mask(
     aabb_j = jnp.asarray(aabb_np)
     prev_vol = prev.volume if prev is not None else None
     prev_aabb = prev.aabb if prev is not None else None
+    # Reuse the prebuilt parity block table: without it every jitted call
+    # rebuilds the 8-copy 3D table from the volume (review finding).
+    prev_table = getattr(prev, "table", None) if prev is not None else None
 
     out = []
     for i in range(0, pts.shape[0], chunk):
         xyz = jnp.asarray(pts[i : i + chunk])
         if prev is not None:
             a = alpha_fn(params, xyz=xyz, aabb=aabb_j,
-                         alpha_volume=prev_vol, alpha_aabb=prev_aabb)
+                         alpha_volume=prev_vol, alpha_aabb=prev_aabb,
+                         alpha_table=prev_table)
         else:
             a = alpha_fn(params, xyz=xyz, aabb=aabb_j)
         out.append(np.asarray(a))
