@@ -26,7 +26,12 @@ Knobs via env: NGF_BENCH_STEPS_PER_CALL, NGF_BENCH_BLOCKS, NGF_GATHER_IMPL
 (blocks|patch|pairs|rows), NGF_BENCH_DTYPE (float32|bfloat16),
 NGF_BENCH_CAP, NGF_BENCH_RGB_CAP, NGF_BENCH_MICRO, NGF_BENCH_GROUP,
 NGF_BENCH_RUN_LEN, NGF_BENCH_TILE_Q, NGF_BENCH_PAIR, NGF_BENCH_FWD_ONLY,
-NGF_BENCH_RENDER_CHUNK, NGF_BENCH_CONFIG (infoinv|gauge|uv|render).
+NGF_BENCH_RENDER_CHUNK, NGF_BENCH_CONFIG (infoinv|gauge|uv|render),
+NGF_BENCH_MESH=1 (data-parallel over all local devices; aggregate rays/s —
+expected on a real v5e-8: ~8x the single-chip number, as the per-step grad
+psum is ~75 MB of replicated plane params over ICI, ~1-2 ms against a
+~100 ms step; smoke-tested on the virtual 8-CPU mesh in tests/test_cli.py),
+NGF_BENCH_BATCH / NGF_BENCH_PLANE_RES (workload scale; tests only).
 """
 
 from __future__ import annotations
@@ -195,17 +200,30 @@ def main() -> None:
     stage = os.environ.get("NGF_BENCH_STAGE", "masked")
 
     if stage == "masked":
-        default_cap, default_rgb = "160", "32"
+        # Default: the QUALITY-CERTIFIED configuration — auto sample cap
+        # (p99.9 occupied samples/ray + margin, 224 on the bundled scene),
+        # the setting whose end-to-end PSNR is certified at 42.4 dB
+        # (NOTES.md capacity table). NGF_BENCH_CAP=160 reproduces the
+        # round-1/2-comparable aggressive workload number (-6.5 dB on this
+        # scene; kept as a knob, not the headline).
+        default_cap, default_rgb = "-1", "-1"
     else:
         default_cap, default_rgb = "512", "64"
 
-    n_samples = cal_n_samples([256, 256, 256], 0.5)  # 886, the lego workload
+    # Workload scale — defaults are the reference lego workload; the tiny
+    # overrides exist so the CPU test suite can smoke the full bench flow
+    # (incl. mesh mode) without the lego-scale compile.
+    plane_res = int(os.environ.get("NGF_BENCH_PLANE_RES", "256"))
+    batch = int(os.environ.get("NGF_BENCH_BATCH", "4096"))
+    n_samples = cal_n_samples([plane_res] * 3, 0.5)  # 886 at 256: lego workload
     args = TrainArgs(
         subsystem="triplane" if config == "gauge" else "infoinv",
         gauge_start=0 if config == "gauge" else 30000,
         infoinv=(config in ("infoinv", "render")),
         dataset_name="synthetic",
-        batch_size=4096,
+        batch_size=batch,
+        plane_res=plane_res,
+        gauge_res=plane_res,
         n_iters=30000,
         nSamples=n_samples,
         vis_every=0,
@@ -231,12 +249,29 @@ def main() -> None:
         pair_gather=int(os.environ.get("NGF_BENCH_PAIR", "0")),
     )
 
+    # NGF_BENCH_MESH=1: data-parallel mesh over ALL local devices — the
+    # measurement mode for real multi-chip hardware (SURVEY.md §5). The
+    # per-chip workload is identical to the single-chip bench (batch_size
+    # rays per chip); the reported rays/s is the aggregate. Smoke-testable
+    # on a virtual CPU mesh (tests/test_cli.py::TestBenchMesh).
+    mesh = None
+    if os.environ.get("NGF_BENCH_MESH", "0") == "1":
+        from ngf_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            mesh = make_mesh()
+            args.batch_size *= n_dev
+            log(f"mesh mode: {n_dev} devices, aggregate batch {args.batch_size}")
+        else:
+            log("mesh mode requested but only 1 device; running single-chip")
+
     t0 = time.time()
     train_ds = make_synthetic_dataset("train", n_views=4, wh=(128, 128))
     log(f"[{time.time()-t0:5.1f}s] dataset ready")
-    trainer = TriPlaneTrainer(args, train_ds, None, None)
+    trainer = TriPlaneTrainer(args, train_ds, None, None, mesh=mesh)
     if stage == "masked":
-        trainer.alpha = _analytic_alpha_grid(trainer)
+        trainer.alpha = _analytic_alpha_grid(trainer, res=min(128, plane_res))
         if args.sample_cap == -1:
             # host-side (numpy) equivalent of the shipping auto-cap path
             # (`occupancy.py:occupied_samples_per_ray` + `auto_sample_cap`);
@@ -295,10 +330,11 @@ def main() -> None:
     rays_per_sec = args.batch_size / best
     assert np.isfinite(mses).all()
 
+    suffix = f"_dp{len(jax.devices())}" if mesh is not None else ""
     print(
         json.dumps(
             {
-                "metric": f"{config}_lego_{'fwd' if fwd_only else 'train'}_throughput",
+                "metric": f"{config}_lego_{'fwd' if fwd_only else 'train'}_throughput{suffix}",
                 "value": round(float(rays_per_sec), 1),
                 "unit": "rays/sec",
                 "vs_baseline": round(float(rays_per_sec / REF_RAYS_PER_SEC), 3),

@@ -197,7 +197,13 @@ def _plane_feats(
     base = (lambda p, c, name: grid_sample_2d(p, c)) if sample_fn is None else sample_fn
 
     def sample(plane, c, name):
-        return base(plane[..., channels].astype(dt), c.astype(dt), name)
+        # Coords stay float32 through the sampler: a bf16 coord quantizes by
+        # ~0.5 texel at 256-res planes, which breaks the duo sampler's
+        # pair-consecutiveness precondition and shifts every stencil
+        # (advisor finding, round 2). Only the gathered plane values (and
+        # the interpolation weights, cast at the multiply inside each
+        # sampler) run in the compute dtype.
+        return base(plane[..., channels].astype(dt), c, name)
 
     fxy = sample(params["plane_xy"], xy, "plane_xy")
     fyz = sample(params["plane_yz"], yz, "plane_yz")

@@ -221,7 +221,10 @@ def _render_rays_grouped(
 
     if alpha_volume is not None:
         a_aabb = aabb if alpha_aabb is None else alpha_aabb
-        if G >= 4:
+        if G >= 4 and G % 2 == 0:
+            # (odd G falls through to the single-center query below: the
+            # half-stride subsampling would yield fewer than ng*G columns
+            # after the repeat — advisor finding, round 2.)
             # Two queries per group (quarter + three-quarter points): every
             # sample is <= G/4 steps from its query point, which at
             # step_ratio 0.5 stays inside the reference's 3x3x3 mask

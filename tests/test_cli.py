@@ -35,6 +35,19 @@ class TestConfig:
             assert vals["batch_size"] == 4096
             assert vals["update_AlphaMask_list"] == [2000, 2500]
 
+    def test_tpu_tuned_lego_config_parses(self):
+        """The TPU-tuned lego recipe must parse through the full CLI path
+        (config file -> TrainArgs) with the validated knob values."""
+        args = config_parser(["--config", "configs/lego_infoinv_tpu.txt"])
+        assert args.update_AlphaMask_list == [300, 2000, 2500]
+        assert args.sample_cap == -1
+        assert args.rgb_cap == -1
+        assert args.open_sample_cap == 512
+        assert args.compute_dtype == "bfloat16"
+        assert args.steps_per_call == 8
+        assert args.infoinv is True
+        assert args.n_iters == 30000
+
     def test_unknown_key_rejected(self, tmp_path):
         cfg = tmp_path / "bad.txt"
         cfg.write_text("not_a_real_option = 1\n")
@@ -122,3 +135,37 @@ class TestDeadKnobGuards:
         assert args.L1_weight_rest == 4e-5
         custom = TrainArgs(L1_weight_initial=1e-4)
         assert custom.L1_weight_initial == 1e-4
+
+
+class TestBenchMesh:
+    def test_bench_mesh_mode_on_virtual_mesh(self):
+        """bench.py NGF_BENCH_MESH=1 end-to-end on the 8-device virtual CPU
+        mesh at a tiny workload: the measurement path for real multi-chip
+        hardware must produce a valid JSON line with zero new code
+        (VERDICT round-2 item 8)."""
+        import json
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            PALLAS_AXON_POOL_IPS="",
+            XLA_FLAGS=(env.get("XLA_FLAGS", "")
+                       + " --xla_force_host_platform_device_count=8").strip(),
+            NGF_BENCH_MESH="1",
+            NGF_BENCH_PLANE_RES="32",
+            NGF_BENCH_BATCH="64",
+            NGF_BENCH_STEPS_PER_CALL="2",
+            NGF_BENCH_BLOCKS="1",
+        )
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True,
+            timeout=600, env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        result = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert result["metric"] == "infoinv_lego_train_throughput_dp8"
+        assert result["unit"] == "rays/sec"
+        assert result["value"] > 0
+        assert "mesh mode: 8 devices" in proc.stderr

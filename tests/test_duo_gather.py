@@ -97,6 +97,47 @@ class TestDuoGather:
             rtol=1e-5, atol=1e-5,
         )
 
+    def test_bf16_field_path_keeps_coords_f32(self):
+        """With compute_dtype=bfloat16 the duo sampler must see float32
+        coords: a bf16-quantized coordinate (~0.5 texel at 256 res) can push
+        a pair's stencil starts > 1 texel apart and silently zero taps
+        (advisor finding, round 2). The f32-coord pipeline keeps pair_gather
+        within bf16 feature noise of the blocks path."""
+        import dataclasses
+
+        from ngf_tpu.fields import TriPlaneConfig, init_triplane
+        from ngf_tpu.render import RenderConfig, render_rays
+
+        cfg = TriPlaneConfig(
+            **{**TriPlaneConfig.infoinv_preset(infoinv=True).__dict__,
+               "plane_res": 256, "compute_dtype": "bfloat16"}
+        )
+        params = init_triplane(jax.random.PRNGKey(0), cfg)
+        params["plane_xy"] = params["plane_xy"] + 0.1
+
+        rng = np.random.default_rng(7)
+        d = rng.normal(size=(48, 3)).astype(np.float32) * 0.1 + [0, 0, 1]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(
+            np.concatenate([np.tile([[0.0, 0.0, -4.0]], (48, 1)), d], -1),
+            jnp.float32,
+        )
+        base = RenderConfig(
+            aabb=((-1.5,) * 3, (1.5,) * 3), near=2.0, far=6.0,
+            # ~0.5 texel/step at 256 res: the regime where bf16 coords break
+            n_samples=96, step_size=0.006, white_bg=True,
+            sample_cap=64, rgb_cap=32, group_size=8,
+        )
+        out0 = render_rays(params, cfg, base, rays, None, is_train=False)
+        out1 = render_rays(
+            params, cfg, dataclasses.replace(base, pair_gather=True),
+            rays, None, is_train=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out1["rgb_map"]), np.asarray(out0["rgb_map"]),
+            rtol=0, atol=2e-2,
+        )
+
     def test_odd_group_size_rejected(self):
         from ngf_tpu.fields import TriPlaneConfig, init_triplane
         from ngf_tpu.render import RenderConfig, render_rays

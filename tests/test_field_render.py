@@ -180,6 +180,22 @@ class TestRenderer:
         np.testing.assert_allclose(np.asarray(out["acc_map"]), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out["rgb_map"]), 1.0, atol=1e-6)
 
+    def test_odd_group_size_with_occupancy(self, setup):
+        """Odd G >= 5 must use the single-center occupancy query (the
+        half-stride two-query path only covers even G — advisor finding)."""
+        params, cfg = setup
+        params = dict(params)
+        params["plane_xy"] = params["plane_xy"] + 3.0
+        rays = make_rays(8, seed=11)
+        vol = jnp.ones((16, 16, 16))
+        for G in (5, 7):
+            out = render_rays(
+                params, cfg, small_rcfg(sample_cap=50, group_size=G, tile_q=0),
+                rays, None, is_train=False,
+                alpha_volume=vol, alpha_aabb=jnp.asarray(AABB),
+            )
+            assert np.isfinite(np.asarray(out["rgb_map"])).all()
+
     def test_gather_impls_agree_on_full_render(self, setup):
         from ngf_tpu.ops import grid_sample as gs
 
