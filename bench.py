@@ -70,30 +70,40 @@ def _analytic_alpha_grid(trainer, res: int = 128):
     return AlphaGrid(volume=jnp.asarray(occ_zyx), aabb=jnp.asarray(aabb)).build_table()
 
 
-def _occupied_counts_numpy(trainer, train_ds, max_rays: int = 16384):
+def _occupied_counts_numpy(trainer, train_ds, max_rays: int = 65536):
     """Occupied samples per ray, numpy nearest-neighbor on the (dilated)
     occupancy grid — the host-side stand-in for
-    `occupancy.occupied_samples_per_ray` used only to pick the auto cap."""
+    `occupancy.occupied_samples_per_ray` used only to pick the auto cap.
+
+    Rays are STRIDED across the full training set (not the first view
+    only): the p99.9 capacity must reflect every camera elevation, like the
+    trainer's own mask-event measurement over all rays does."""
     import numpy as np
 
-    rays = trainer.all_rays[:max_rays]
-    o, d = rays[:, :3], rays[:, 3:6]
+    stride = max(1, trainer.all_rays.shape[0] // max_rays)
+    rays_all = trainer.all_rays[::stride][:max_rays]
     aabb = np.asarray(trainer.aabb, np.float32)
     near, far = [float(v) for v in train_ds.near_far]
-    vec = np.where(d == 0, 1e-6, d)
-    t_min = np.clip(
-        np.max(np.minimum((aabb[1] - o) / vec, (aabb[0] - o) / vec), -1), near, far
-    )
-    z = t_min[:, None] + trainer.step_size * np.arange(trainer.n_samples)[None, :]
-    pts = o[:, None, :] + d[:, None, :] * z[..., None]
-    inb = np.all((pts >= aabb[0]) & (pts <= aabb[1]), -1)
     vol = np.asarray(trainer.alpha.volume)  # (gz, gy, gx)
     g = np.array([vol.shape[2], vol.shape[1], vol.shape[0]])
-    ijk = np.clip(
-        np.round((pts - aabb[0]) / (aabb[1] - aabb[0]) * (g - 1)).astype(int), 0, g - 1
-    )
-    occ = vol[ijk[..., 2], ijk[..., 1], ijk[..., 0]] > 0
-    return (occ & inb).sum(-1)
+    counts = []
+    for i in range(0, rays_all.shape[0], 8192):
+        rays = rays_all[i : i + 8192]
+        o, d = rays[:, :3], rays[:, 3:6]
+        vec = np.where(d == 0, 1e-6, d)
+        t_min = np.clip(
+            np.max(np.minimum((aabb[1] - o) / vec, (aabb[0] - o) / vec), -1), near, far
+        )
+        z = t_min[:, None] + trainer.step_size * np.arange(trainer.n_samples)[None, :]
+        pts = o[:, None, :] + d[:, None, :] * z[..., None]
+        inb = np.all((pts >= aabb[0]) & (pts <= aabb[1]), -1)
+        ijk = np.clip(
+            np.round((pts - aabb[0]) / (aabb[1] - aabb[0]) * (g - 1)).astype(int),
+            0, g - 1,
+        )
+        occ = vol[ijk[..., 2], ijk[..., 1], ijk[..., 0]] > 0
+        counts.append((occ & inb).sum(-1))
+    return np.concatenate(counts)
 
 
 def bench_uv() -> dict:
@@ -247,6 +257,7 @@ def main() -> None:
         tile_q=int(os.environ.get("NGF_BENCH_TILE_Q", "0")),
         fused_fetch=int(os.environ.get("NGF_BENCH_FUSED_FETCH", "0")),
         pair_gather=int(os.environ.get("NGF_BENCH_PAIR", "0")),
+        duo_bwd=int(os.environ.get("NGF_BENCH_DUOBWD", "0")),
     )
 
     # NGF_BENCH_MESH=1: data-parallel mesh over ALL local devices — the
@@ -267,8 +278,12 @@ def main() -> None:
             log("mesh mode requested but only 1 device; running single-chip")
 
     t0 = time.time()
-    train_ds = make_synthetic_dataset("train", n_views=4, wh=(128, 128))
-    log(f"[{time.time()-t0:5.1f}s] dataset ready")
+    # 30 views = the quality-certification configuration
+    # (configs/synthetic_infoinv_tpu.txt): the auto-cap statistic must be
+    # measured over the same view distribution the 42.4 dB run used.
+    n_views = int(os.environ.get("NGF_BENCH_VIEWS", "30" if plane_res >= 256 else "4"))
+    train_ds = make_synthetic_dataset("train", n_views=n_views, wh=(128, 128))
+    log(f"[{time.time()-t0:5.1f}s] dataset ready ({n_views} views)")
     trainer = TriPlaneTrainer(args, train_ds, None, None, mesh=mesh)
     if stage == "masked":
         trainer.alpha = _analytic_alpha_grid(trainer, res=min(128, plane_res))

@@ -60,7 +60,13 @@ def run_train(args):
 
     import jax
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if args.mesh_shape:
+        from ngf_tpu.parallel.mesh import make_mesh_2d
+
+        d, s = (int(v) for v in args.mesh_shape.lower().split("x"))
+        mesh = make_mesh_2d(d, s) if d * s > 1 else None
+    else:
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
     trainer = TriPlaneTrainer(args, train_dataset, test_dataset, logfolder, mesh=mesh)
     stats = trainer.run()
     print(f"training done: {stats}")

@@ -142,6 +142,19 @@ class TrainArgs:
     # fused_fetch=0: measured 130 ms/step vs 88 unfused on v5e (the full-row
     # gather + scatter bytes outweigh the saved rgb descriptors); see NOTES.
     fused_fetch: int = 0
+    # duo_bwd=1: blocks-forward / duo-backward plane sampling — halves the
+    # backward plane-gradient scatter descriptors (the training-step wall)
+    # while keeping the measured-fastest forward. Grouped path, even
+    # group_size (see ops/grid_sample.py:grid_sample_2d_blocks_duobwd).
+    duo_bwd: int = 0
+    # Device-mesh shape "DATAxSAMPLE" (e.g. "4x2"): rays sharded over the
+    # data axis, samples-per-ray over the sample axis (the sequence-parallel
+    # analog, SURVEY.md §5). "" = 1D data mesh over all devices. With a
+    # sample axis the trainer uses the dense sample-parallel renderer
+    # (parallel/sample_parallel.py): occupancy culling and fixed-capacity
+    # compaction are per-chip concepts and are NOT applied there — the mode
+    # exists to scale samples-per-ray beyond one chip's memory/appetite.
+    mesh_shape: str = ""
     plane_res: int = 256  # reference hard-codes 256 (Field.py:14/17)
     gauge_res: int = 256
     compute_dtype: str = "float32"  # reference-parity default; bfloat16 validated

@@ -351,6 +351,132 @@ def grid_sample_2d_duo(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*batch_shape, M, C)
 
 
+def _axis_weight_grads(c: jnp.ndarray, size: int):
+    """d(w0)/dc, d(w1)/dc for the clipped 2-texel patch weights of
+    :func:`_axis_patch_weights` (piecewise-linear; derivative a.e.)."""
+    c0 = jnp.floor(c).astype(jnp.int32)
+    start = jnp.clip(c0, 0, size - 2)
+    dw0 = -(start == c0).astype(jnp.float32) + (start == c0 + 1).astype(jnp.float32)
+    dw1 = -(start + 1 == c0).astype(jnp.float32) + (start + 1 == c0 + 1).astype(
+        jnp.float32
+    )
+    return dw0, dw1
+
+
+@jax.custom_vjp
+def grid_sample_2d_blocks_duobwd(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Blocks-forward / duo-backward bilinear sampling.
+
+    Forward: EXACTLY :func:`grid_sample_2d` via the blocks gather (one
+    descriptor per sample, small 4C rows — the measured-fastest forward).
+    Backward: the plane-gradient scatter uses overlapping 4x4 stride-2 duo
+    rows — ONE scatter descriptor per PAIR of consecutive samples — then a
+    dense fold back to the plane (the transpose of :func:`make_duo_table`,
+    all static slices). TPU scatters are descriptor-rate bound (~41M/s,
+    NOTES.md round-2/3 probes), so halving the descriptor count halves the
+    dominant backward cost without touching the forward formulation.
+
+    Precondition (same as :func:`grid_sample_2d_duo`, guaranteed by the
+    trainer's sampling geometry): coords[..., 2k, :] and coords[..., 2k+1, :]
+    are ray-consecutive samples moving <= 1 texel per axis per step, and the
+    sample axis length is even. Violating pairs would get their gradient
+    taps dropped (the forward stays exact).
+
+    Args:
+      plane: (H, W, C).
+      coords: (..., M, 2) with M even; x -> W axis, y -> H axis, [-1, 1].
+    """
+    return _grid_sample_2d_blocks(plane, coords)
+
+
+def _duobwd_fwd(plane, coords):
+    out = _grid_sample_2d_blocks(plane, coords)
+    return out, (plane, coords)
+
+
+def _duobwd_bwd(res, g):
+    plane, coords = res
+    H, W, C = plane.shape
+    hb, wb = (H + 1) // 2, (W + 1) // 2
+    M = coords.shape[-2]
+    c32 = coords.reshape(-1, M, 2).astype(jnp.float32)
+    N = c32.shape[0]
+    x = _unnormalize(c32[..., 0], W)  # (N, M)
+    y = _unnormalize(c32[..., 1], H)
+    xs, wx0, wx1 = _axis_patch_weights(x, W)
+    ys, wy0, wy1 = _axis_patch_weights(y, H)
+    g = g.reshape(N, M, C)
+
+    # ---- coordinate gradients: need the forward patch; ONE re-gather of
+    # the block rows (same descriptor count as the forward — only incurred
+    # when coords are being differentiated; XLA dead-code-eliminates this
+    # whole branch when the coord cotangent is unused, e.g. the identity-
+    # gauge InfoInv path where coords do not depend on any parameter).
+    table = make_block_table(plane)
+    table_id = (ys & 1) * 2 + (xs & 1)
+    row4 = table_id * (hb * wb) + (ys >> 1) * wb + (xs >> 1)
+    patch = jnp.take(table, row4, axis=0).reshape(N, M, 4, C).astype(jnp.float32)
+    t = jnp.einsum("nmjc,nmc->nmj", patch, g.astype(jnp.float32))  # (N, M, 4)
+    dwx0, dwx1 = _axis_weight_grads(x, W)
+    dwy0, dwy1 = _axis_weight_grads(y, H)
+    gx = (
+        t[..., 0] * wy0 * dwx0 + t[..., 1] * wy0 * dwx1
+        + t[..., 2] * wy1 * dwx0 + t[..., 3] * wy1 * dwx1
+    ) * (0.5 * (W - 1))
+    gy = (
+        t[..., 0] * dwy0 * wx0 + t[..., 1] * dwy0 * wx1
+        + t[..., 2] * dwy1 * wx0 + t[..., 3] * dwy1 * wx1
+    ) * (0.5 * (H - 1))
+    coords_cot = jnp.stack([gx, gy], axis=-1).reshape(coords.shape).astype(coords.dtype)
+
+    # ---- plane gradient via duo rows: one descriptor per sample PAIR.
+    P = M // 2
+    oy = jnp.min(ys.reshape(N, P, 2), -1) & ~1  # (N, P) even tile origins
+    ox = jnp.min(xs.reshape(N, P, 2), -1) & ~1
+    offy = ys.reshape(N, P, 2) - oy[..., None]  # in {0, 1, 2} for honest pairs
+    offx = xs.reshape(N, P, 2) - ox[..., None]
+
+    a4 = jnp.arange(4)
+    # ty[n,p,s,a] = wy0*(offy==a) + wy1*(offy==a-1); taps falling outside
+    # the 4x4 tile (violating pairs only) drop out of both one-hots.
+    wy0p = wy0.reshape(N, P, 2)
+    wy1p = wy1.reshape(N, P, 2)
+    wx0p = wx0.reshape(N, P, 2)
+    wx1p = wx1.reshape(N, P, 2)
+    ty = (
+        wy0p[..., None] * (offy[..., None] == a4)
+        + wy1p[..., None] * (offy[..., None] == a4 - 1)
+    )  # (N, P, 2, 4)
+    tx = (
+        wx0p[..., None] * (offx[..., None] == a4)
+        + wx1p[..., None] * (offx[..., None] == a4 - 1)
+    )
+    # Accumulate in the plane's own dtype — identical precision behavior to
+    # the autodiff scatter this replaces (the bf16 compute copy's cotangent
+    # is scattered in bf16 there too), and half the scatter bytes under bf16.
+    dt = plane.dtype
+    tyc = ty.astype(dt)
+    txc = tx.astype(dt)
+    gp = g.reshape(N, P, 2, C).astype(dt)
+    tile_cot = (
+        tyc[:, :, 0, :, None, None] * txc[:, :, 0, None, :, None] * gp[:, :, 0, None, None, :]
+        + tyc[:, :, 1, :, None, None] * txc[:, :, 1, None, :, None] * gp[:, :, 1, None, None, :]
+    )  # (N, P, 4, 4, C)
+
+    row = ((oy >> 1) * wb + (ox >> 1)).reshape(-1)  # (N*P,)
+    duo_cot = jnp.zeros((hb * wb, 16 * C), dt).at[row].add(
+        tile_cot.reshape(N * P, 16 * C)
+    )
+    # Dense fold duo-table cotangent -> plane cotangent: the linear
+    # transpose of make_duo_table (static slices only, no scatter).
+    _, fold = jax.vjp(make_duo_table, jnp.zeros((H, W, C), dt))
+    plane_cot = fold(duo_cot)[0].astype(plane.dtype)
+    return plane_cot, coords_cot
+
+
+grid_sample_2d_blocks_duobwd.defvjp(_duobwd_fwd, _duobwd_bwd)
+
+
 def make_block_table_3d(volume: jnp.ndarray) -> jnp.ndarray:
     """3D analogue of :func:`make_block_table`: 8 parity-shifted copies of
     the volume in 2x2x2 blocks, so a trilinear stencil is one table row.

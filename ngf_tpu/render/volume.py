@@ -97,6 +97,13 @@ class RenderConfig:
     # dominant gather/scatter descriptor count; see
     # ops/grid_sample.py:make_duo_table). Requires an even group_size.
     pair_gather: bool = False
+    # Grouped path only: blocks-forward / duo-BACKWARD sampling — the
+    # forward keeps the measured-fastest blocks gather, while the backward
+    # plane-gradient scatter emits one duo-row descriptor per PAIR of
+    # consecutive samples (ops/grid_sample.py:grid_sample_2d_blocks_duobwd).
+    # Halves the dominant (scatter-bound) backward cost. Requires an even
+    # group_size; mutually exclusive with pair_gather.
+    duo_bwd: bool = False
 
     @property
     def aabb_array(self) -> jnp.ndarray:
@@ -260,6 +267,10 @@ def _render_rays_grouped(
         if G % 2:
             raise ValueError("pair_gather requires an even group_size")
         sampler = lambda p, c, name: _gs.grid_sample_2d_duo(p, c)
+    elif rcfg.duo_bwd:
+        if G % 2:
+            raise ValueError("duo_bwd requires an even group_size")
+        sampler = lambda p, c, name: _gs.grid_sample_2d_blocks_duobwd(p, c)
     else:
         if rcfg.tile_q > 0 and rcfg.run_len > 1 and G % rcfg.run_len:
             # Runs must not straddle compacted group boundaries (samples

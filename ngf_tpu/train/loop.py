@@ -221,14 +221,34 @@ class TriPlaneTrainer:
             tile_q=self.args.tile_q,
             fused_fetch=bool(self.args.fused_fetch),
             pair_gather=bool(self.args.pair_gather),
+            duo_bwd=bool(self.args.duo_bwd),
         )
+
+    @property
+    def _sample_parallel(self) -> bool:
+        """True when the mesh has a 'sample' axis: train with the dense
+        sample-sharded renderer (`parallel/sample_parallel.py`)."""
+        return self.mesh is not None and "sample" in self.mesh.axis_names
 
     def _build_step(self):
         """(Re)compile the scan-blocked train step for the current stage."""
+        import dataclasses as _dc
+
         model_cfg = self.model_cfg
         rcfg = self._render_cfg()
         optimizer = self.optimizer
         has_alpha = self.alpha is not None
+        sp_mesh = self.mesh if self._sample_parallel else None
+        if sp_mesh is not None:
+            # Dense sample-parallel path: no compaction/occupancy (per-chip
+            # concepts — see config.py:mesh_shape); n_samples padded to a
+            # multiple of the sample-axis size.
+            n_sp = sp_mesh.shape["sample"]
+            rcfg = _dc.replace(
+                rcfg, sample_cap=0, rgb_cap=0, group_size=0, mask_stride=1,
+                n_samples=-(-rcfg.n_samples // n_sp) * n_sp,
+            )
+            has_alpha = False
 
         micro = max(1, self.args.microbatch)
         tv_density = float(self.args.TV_weight_density)
@@ -236,11 +256,19 @@ class TriPlaneTrainer:
         density_dim = model_cfg.density_dim
 
         def loss_fn(p, rays, rgbs, key, iteration, l1_w, vol, vaabb, vtable):
-            out = render_rays(
-                p, model_cfg, rcfg, rays, key,
-                is_train=True, iteration=iteration,
-                alpha_volume=vol, alpha_aabb=vaabb, alpha_table=vtable,
-            )
+            if sp_mesh is not None:
+                from ..parallel.sample_parallel import render_rays_sp
+
+                out = render_rays_sp(
+                    p, model_cfg, rcfg, rays, key, sp_mesh,
+                    is_train=True, iteration=iteration,
+                )
+            else:
+                out = render_rays(
+                    p, model_cfg, rcfg, rays, key,
+                    is_train=True, iteration=iteration,
+                    alpha_volume=vol, alpha_aabb=vaabb, alpha_table=vtable,
+                )
             mse = jnp.mean((out["rgb_map"] - rgbs) ** 2)
             loss = mse + l1_w * density_l1(p)
             # Optional TV regularizers over the plane channels (the reference

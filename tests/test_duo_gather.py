@@ -97,6 +97,69 @@ class TestDuoGather:
             rtol=1e-5, atol=1e-5,
         )
 
+    @pytest.mark.parametrize("size", [8, 33, 64])
+    def test_duobwd_forward_exact(self, size):
+        """blocks-fwd/duo-bwd: forward must be bit-identical to the blocks
+        sampler (it IS the blocks sampler)."""
+        from ngf_tpu.ops.grid_sample import grid_sample_2d_blocks_duobwd
+
+        rng = np.random.default_rng(4)
+        plane = rng.normal(size=(size, size, 5)).astype(np.float32)
+        coords = _pair_coords(rng, 4, 24, size)
+        want = np.asarray(grid_sample_2d(jnp.asarray(plane), jnp.asarray(coords)))
+        got = np.asarray(
+            grid_sample_2d_blocks_duobwd(jnp.asarray(plane), jnp.asarray(coords))
+        )
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("size", [8, 33, 64])
+    def test_duobwd_plane_grads_match_autodiff(self, size):
+        from ngf_tpu.ops.grid_sample import grid_sample_2d_blocks_duobwd
+
+        rng = np.random.default_rng(5)
+        plane = jnp.asarray(rng.normal(size=(size, size, 5)).astype(np.float32))
+        coords = jnp.asarray(_pair_coords(rng, 4, 24, size))
+        cot = jnp.asarray(rng.normal(size=(4, 24, 5)).astype(np.float32))
+
+        def loss(fn, p):
+            return jnp.sum(fn(p, coords) * cot)
+
+        g_ref = jax.grad(lambda p: loss(grid_sample_2d, p))(plane)
+        g_duo = jax.grad(lambda p: loss(grid_sample_2d_blocks_duobwd, p))(plane)
+        np.testing.assert_allclose(
+            np.asarray(g_duo), np.asarray(g_ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_duobwd_coord_grads_match_autodiff(self):
+        """Coordinate gradients (the gauge-grid chain) from the analytic
+        patch-weight derivative vs plain autodiff of the blocks sampler."""
+        from ngf_tpu.ops.grid_sample import grid_sample_2d_blocks_duobwd
+
+        rng = np.random.default_rng(6)
+        size = 32
+        plane = jnp.asarray(rng.normal(size=(size, size, 4)).astype(np.float32))
+        # strictly interior coords: the weight derivative is discontinuous
+        # exactly at texel borders, where autodiff picks one side arbitrarily
+        base = rng.uniform(-0.9, 0.9, (3, 8, 2)).astype(np.float32)
+        base = np.floor((base + 1) / 2 * (size - 1) + 0.37) + 0.41
+        base = (base / (size - 1)) * 2 - 1
+        delta = rng.uniform(0.1, 0.6, (3, 8, 2)).astype(np.float32) * (
+            2.0 / (size - 1)
+        )
+        coords = jnp.asarray(
+            np.stack([base, base + delta * 0.2], axis=2).reshape(3, 16, 2)
+        )
+        cot = jnp.asarray(rng.normal(size=(3, 16, 4)).astype(np.float32))
+
+        def loss(fn, c):
+            return jnp.sum(fn(plane, c) * cot)
+
+        g_ref = jax.grad(lambda c: loss(grid_sample_2d, c))(coords)
+        g_duo = jax.grad(lambda c: loss(grid_sample_2d_blocks_duobwd, c))(coords)
+        np.testing.assert_allclose(
+            np.asarray(g_duo), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+        )
+
     def test_bf16_field_path_keeps_coords_f32(self):
         """With compute_dtype=bfloat16 the duo sampler must see float32
         coords: a bf16-quantized coordinate (~0.5 texel at 256 res) can push
@@ -137,6 +200,50 @@ class TestDuoGather:
             np.asarray(out1["rgb_map"]), np.asarray(out0["rgb_map"]),
             rtol=0, atol=2e-2,
         )
+
+    def test_render_rays_duo_bwd_grads_match_default(self):
+        """Full grouped train-style gradient: duo_bwd on == off (f32, CPU).
+        The forward is shared (blocks); this pins the custom backward
+        through compaction, InfoInv modulation, decoders and compositing."""
+        import dataclasses
+
+        from ngf_tpu.fields import TriPlaneConfig, init_triplane
+        from ngf_tpu.render import RenderConfig, render_rays
+
+        cfg = TriPlaneConfig(
+            **{**TriPlaneConfig.infoinv_preset(infoinv=True).__dict__,
+               "plane_res": 48}
+        )
+        params = init_triplane(jax.random.PRNGKey(1), cfg)
+        params["plane_xy"] = params["plane_xy"] + 0.1
+
+        rng = np.random.default_rng(8)
+        d = rng.normal(size=(32, 3)).astype(np.float32) * 0.1 + [0, 0, 1]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(
+            np.concatenate([np.tile([[0.0, 0.0, -4.0]], (32, 1)), d], -1),
+            jnp.float32,
+        )
+        tgt = jnp.asarray(rng.uniform(0, 1, (32, 3)).astype(np.float32))
+        base = RenderConfig(
+            aabb=((-1.5,) * 3, (1.5,) * 3), near=2.0, far=6.0,
+            n_samples=64, step_size=0.06, white_bg=True,
+            sample_cap=32, rgb_cap=16, group_size=8,
+        )
+
+        def loss(p, rc):
+            out = render_rays(p, cfg, rc, rays, None, is_train=False)
+            return jnp.mean((out["rgb_map"] - tgt) ** 2)
+
+        g0 = jax.grad(loss)(params, base)
+        g1 = jax.grad(loss)(params, dataclasses.replace(base, duo_bwd=True))
+        for k in g0:
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+                ),
+                g0[k], g1[k],
+            )
 
     def test_odd_group_size_rejected(self):
         from ngf_tpu.fields import TriPlaneConfig, init_triplane

@@ -150,6 +150,60 @@ class TestSharding:
         np.testing.assert_allclose(p1, p2, rtol=5e-3, atol=2e-5)
 
 
+class TestSampleParallelTrainer:
+    def test_2d_mesh_training_matches_dense_single(self, datasets):
+        """TriPlaneTrainer on a 2D (data x sample) mesh — reachable via
+        --mesh_shape (VERDICT round-2 item 9) — must train equivalently to
+        the dense single-device path (same dense semantics: no compaction,
+        no occupancy)."""
+        from ngf_tpu.parallel.mesh import make_mesh_2d
+
+        train_ds, test_ds = datasets
+        args = tiny_args(n_iters=16, batch_size=256, mesh_shape="2x4",
+                         sample_cap=0, rgb_cap=0, group_size=0)
+
+        t_single = TriPlaneTrainer(args, train_ds, test_ds, None)
+        t_sp = TriPlaneTrainer(
+            args, train_ds, test_ds, None, mesh=make_mesh_2d(2, 4)
+        )
+        assert t_sp._sample_parallel
+
+        m1 = t_single.train_block(8)
+        m2 = t_sp.train_block(8)
+        # The per-step MSE trajectory must match tightly (identical keys and
+        # semantics). Params are compared in relative Frobenius norm: Adam
+        # amplifies cross-shard float reduction-order differences elementwise
+        # (g/sqrt(v) flips for near-zero gradients), which is numerics, not
+        # semantics.
+        np.testing.assert_allclose(m1, m2, rtol=2e-4, atol=1e-6)
+        p1 = np.asarray(t_single.params["plane_xy"])
+        p2 = np.asarray(t_sp.params["plane_xy"])
+        rel = np.linalg.norm(p1 - p2) / np.linalg.norm(p1)
+        assert rel < 5e-3, f"relative param drift {rel:.2e}"
+
+    def test_main_cli_mesh_shape_flag(self, tmp_path):
+        """--mesh_shape 2x4 end-to-end through the CLI on the virtual mesh."""
+        import main as cli
+
+        cli.main([
+            "--dataset_name", "synthetic",
+            "--basedir", str(tmp_path),
+            "--expname", "sp_smoke",
+            "--n_iters", "8",
+            "--batch_size", "256",
+            "--nSamples", "64",
+            "--plane_res", "32",
+            "--gauge_res", "32",
+            "--N_vis", "0",
+            "--vis_every", "0",
+            "--render_test", "0",
+            "--save_every", "0",
+            "--steps_per_call", "4",
+            "--filter_rays", "0",
+            "--mesh_shape", "2x4",
+        ])
+
+
 class TestCheckpoint:
     def test_roundtrip(self, datasets, tmp_path):
         train_ds, test_ds = datasets

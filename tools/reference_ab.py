@@ -1,0 +1,281 @@
+#!/usr/bin/env python3
+"""End-to-end quality A/B: the ACTUAL reference InfoInv torch code vs ngf_tpu.
+
+The strongest achievable approximation of the "match reference PSNR" north
+star without Synthetic-NeRF data (VERDICT round-2 item 3): export the
+bundled analytic scene to the reference's Blender dataset format, train
+`/root/reference/InfoInv/main.py:train()` on it unmodified (torch CPU), train
+our `main.py` CLI on the *same exported files* with the same schedule, and
+compare held-out test PSNR.
+
+The reference code is imported from the read-only mirror and run as-is; the
+only harness-side accommodations are environment shims for packages absent
+here (configargparse / kornia / lpips / ffmpeg-mp4), injected via
+sys.modules without touching any reference file.
+
+Usage (each phase is resumable):
+  python tools/reference_ab.py --out /tmp/ref_ab            # all phases
+  python tools/reference_ab.py --out /tmp/ref_ab --phase export|ref|ours|report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_DIR = "/root/reference/InfoInv"
+
+
+# --------------------------------------------------------------------- export
+
+def export_scene(scene_dir: str, views: int, test_views: int, wh: int) -> None:
+    """Write the analytic scene as a Blender-format dataset
+    (`transforms_{split}.json` + RGBA PNGs), loadable by BOTH the
+    reference's `dataLoader/blender.py` and our `ngf_tpu/data/blender.py`.
+
+    Both trainers then consume the *same uint8 PNG pixels*, so quantization
+    affects the two sides identically.
+    """
+    import imageio.v2 as imageio
+
+    sys.path.insert(0, REPO)
+    from ngf_tpu.data.synthetic import SyntheticDataset
+
+    os.makedirs(scene_dir, exist_ok=True)
+    for split, n in (("train", views), ("test", test_views)):
+        ds = SyntheticDataset(split=split, n_views=n, wh=(wh, wh), is_stack=True)
+        os.makedirs(os.path.join(scene_dir, split), exist_ok=True)
+        frames = []
+        for i in range(n):
+            img = np.clip(ds.all_rgbs[i] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            rgba = np.concatenate(
+                [img, np.full_like(img[..., :1], 255)], axis=-1
+            )  # opaque alpha: the loader's white-blend is then a no-op
+            rel = f"./{split}/r_{i}"
+            imageio.imwrite(os.path.join(scene_dir, f"{rel}.png"), rgba)
+            frames.append(
+                {"file_path": rel, "transform_matrix": ds.poses[i].tolist()}
+            )
+        meta = {"camera_angle_x": 0.6911112070083618, "frames": frames}
+        with open(os.path.join(scene_dir, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+    print(f"[export] wrote {views}+{test_views} views at {wh}x{wh} -> {scene_dir}")
+
+
+# ------------------------------------------------------------------ ref shims
+
+def _install_shims() -> None:
+    """sys.modules stand-ins for packages the reference imports but this
+    zero-egress image lacks. Behavior-preserving: configargparse degrades to
+    plain argparse (we pass all flags on the command line), kornia's
+    create_meshgrid is the documented (1, H, W, 2) xy pixel grid, lpips
+    returns NaN (recorded as-is in mean.txt), mp4 writing is skipped."""
+    import types
+
+    import torch
+
+    if "configargparse" not in sys.modules:
+        import argparse as _ap
+
+        class _Parser(_ap.ArgumentParser):
+            def add_argument(self, *a, **kw):
+                kw.pop("is_config_file", None)
+                return super().add_argument(*a, **kw)
+
+        m = types.ModuleType("configargparse")
+        m.ArgumentParser = _Parser
+        sys.modules["configargparse"] = m
+
+    if "torchvision" not in sys.modules:
+        class _ToTensor:
+            def __call__(self, pic):
+                arr = np.array(pic, dtype=np.float32) / 255.0
+                if arr.ndim == 2:
+                    arr = arr[..., None]
+                return torch.from_numpy(arr.transpose(2, 0, 1)).contiguous()
+
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        tr.ToTensor = _ToTensor
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+
+    if "kornia" not in sys.modules:
+        def create_meshgrid(h, w, normalized_coordinates=True, device=None):
+            if normalized_coordinates:
+                ys = torch.linspace(-1, 1, h)
+                xs = torch.linspace(-1, 1, w)
+            else:
+                ys = torch.arange(h, dtype=torch.float32)
+                xs = torch.arange(w, dtype=torch.float32)
+            gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+            return torch.stack([gx, gy], dim=-1)[None]  # (1, H, W, 2) xy
+
+        m = types.ModuleType("kornia")
+        m.create_meshgrid = create_meshgrid
+        sys.modules["kornia"] = m
+
+    if "lpips" not in sys.modules:
+        class _FakeLPIPS:
+            def __init__(self, *a, **kw):
+                pass
+
+            def eval(self):
+                return self
+
+            def to(self, device):
+                return self
+
+            def __call__(self, gt, im, normalize=True):
+                return torch.tensor(float("nan"))
+
+        m = types.ModuleType("lpips")
+        m.LPIPS = _FakeLPIPS
+        sys.modules["lpips"] = m
+
+    # plyfile / skimage are imported at utils.py module level but only used
+    # by the SDF->PLY export path, which this A/B never calls.
+    for name in ("plyfile", "skimage", "skimage.measure"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if not hasattr(sys.modules["skimage"], "measure"):
+        sys.modules["skimage"].measure = sys.modules["skimage.measure"]
+
+    import imageio
+
+    _orig = imageio.mimwrite
+
+    def mimwrite(path, *a, **kw):
+        if str(path).endswith(".mp4"):
+            return None  # no ffmpeg plugin in this image
+        return _orig(path, *a, **kw)
+
+    imageio.mimwrite = mimwrite
+
+
+def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
+    _install_shims()
+    sys.path.insert(0, REF_DIR)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_infoinv_main", os.path.join(REF_DIR, "main.py")
+    )
+    ref_main = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_main)
+
+    args = ref_main.config_parser(
+        [
+            "--expname", "ref",
+            "--basedir", log_dir,
+            "--datadir", scene_dir,
+            "--dataset_name", "blender",
+            "--downsample_train", str(800.0 / a.wh),
+            "--downsample_test", str(800.0 / a.wh),
+            "--model_name", "TriPlane",
+            "--n_iters", str(a.iters),
+            "--batch_size", str(a.batch),
+            "--nSamples", str(a.nsamples),
+            "--update_AlphaMask_list", str(a.alpha_at),
+            "--upsamp_list", str(10 * a.iters),  # never fires
+            "--N_vis", "0",
+            "--vis_every", str(10 * a.iters),
+            "--render_test", "1",
+            "--infoinv",
+        ]
+    )
+    t0 = time.time()
+    ref_main.train(args)
+    print(f"[ref] train+eval done in {time.time()-t0:.0f}s")
+    mean = np.loadtxt(os.path.join(log_dir, "ref/imgs_test_all/mean.txt"))
+    print(f"[ref] test PSNR = {float(np.atleast_1d(mean)[0]):.2f} dB")
+
+
+# ----------------------------------------------------------------------- ours
+
+def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    cmd = [
+        sys.executable, os.path.join(REPO, "main.py"),
+        "--expname", "ours",
+        "--basedir", log_dir,
+        "--datadir", scene_dir,
+        "--dataset_name", "blender",
+        "--downsample_train", str(800.0 / a.wh),
+        "--downsample_test", str(800.0 / a.wh),
+        "--subsystem", "infoinv",
+        "--infoinv",
+        "--n_iters", str(a.iters),
+        "--batch_size", str(a.batch),
+        "--nSamples", str(a.nsamples),
+        "--update_AlphaMask_list", str(a.alpha_at),
+        "--N_vis", "0",
+        "--vis_every", "0",
+        "--render_test", "1",
+        "--compute_extra_metrics", "0",
+        "--save_every", "0",
+        # shipped TPU-native execution knobs (the comparison is our
+        # framework as shipped vs the reference as shipped)
+        "--sample_cap", "-1",
+        "--open_sample_cap", str(a.nsamples),
+        "--rgb_cap", "-1",
+        "--steps_per_call", "8",
+    ]
+    t0 = time.time()
+    subprocess.run(cmd, check=True, env=env, cwd=REPO)
+    print(f"[ours] train+eval done in {time.time()-t0:.0f}s")
+    mean = np.loadtxt(os.path.join(log_dir, "ours/imgs_test_all/mean.txt"))
+    print(f"[ours] test PSNR = {float(np.atleast_1d(mean)[0]):.2f} dB")
+
+
+def report(log_dir: str) -> None:
+    ref = float(
+        np.atleast_1d(np.loadtxt(os.path.join(log_dir, "ref/imgs_test_all/mean.txt")))[0]
+    )
+    ours = float(
+        np.atleast_1d(np.loadtxt(os.path.join(log_dir, "ours/imgs_test_all/mean.txt")))[0]
+    )
+    out = {"ref_psnr_db": round(ref, 2), "ours_psnr_db": round(ours, 2),
+           "gap_db": round(ours - ref, 2)}
+    print(json.dumps(out))
+    with open(os.path.join(log_dir, "ab_result.json"), "w") as f:
+        json.dump(out, f)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/ref_ab")
+    p.add_argument("--phase", default="all",
+                   choices=["all", "export", "ref", "ours", "report"])
+    p.add_argument("--views", type=int, default=24)
+    p.add_argument("--test-views", type=int, default=4)
+    p.add_argument("--wh", type=int, default=64)
+    p.add_argument("--iters", type=int, default=800)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--nsamples", type=int, default=448)
+    p.add_argument("--alpha-at", type=int, default=400)
+    a = p.parse_args()
+
+    scene = os.path.join(a.out, "scene")
+    logs = os.path.join(a.out, "log")
+    os.makedirs(logs, exist_ok=True)
+    if a.phase in ("all", "export"):
+        export_scene(scene, a.views, a.test_views, a.wh)
+    if a.phase in ("all", "ref"):
+        run_reference(scene, logs, a)
+    if a.phase in ("all", "ours"):
+        run_ours(scene, logs, a)
+    if a.phase in ("all", "report"):
+        report(logs)
+
+
+if __name__ == "__main__":
+    main()
