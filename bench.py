@@ -20,7 +20,12 @@ Two stages (NGF_BENCH_STAGE):
 - "masked" (default) — the dominant regime (iters 2000-30000,
   `InfoInv/main.py:320-332`): an occupancy grid culls empty space. The bench
   builds the grid analytically from the synthetic scene, mirroring what
-  `updateAlphaMask` would produce for it.
+  `updateAlphaMask` would produce for it. (Deliberate divergence from the
+  shipping mask-builder: `update_alpha_mask` needs a CONVERGED model to
+  produce a meaningful mask, and the bench starts from random init — the
+  analytic grid is the fixed point that path converges to. The real
+  mask-building path is exercised end-to-end by the staged E2E validation
+  runs that certify the PSNR, NOTES.md.)
 
 Knobs via env: NGF_BENCH_STEPS_PER_CALL, NGF_BENCH_BLOCKS, NGF_GATHER_IMPL
 (blocks|patch|pairs|rows), NGF_BENCH_DTYPE (float32|bfloat16),

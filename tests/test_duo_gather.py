@@ -245,6 +245,55 @@ class TestDuoGather:
                 g0[k], g1[k],
             )
 
+    def test_render_rays_duo_bwd_gauge_grads_match_default(self):
+        """Gauge variant: duo_bwd applies to the gauge-GRID lookups (their
+        coords are the undeformed projections — always pair-consecutive)
+        while plane gathers at deformed coords keep plain autodiff. Gauge
+        grid + plane gradients must match the default path exactly."""
+        import dataclasses
+
+        from ngf_tpu.fields import TriPlaneConfig, init_triplane
+        from ngf_tpu.render import RenderConfig, render_rays
+
+        cfg = TriPlaneConfig(
+            **{**TriPlaneConfig.gauge_preset(gauge_start=0).__dict__,
+               "plane_res": 48, "gauge_res": 48}
+        )
+        params = init_triplane(jax.random.PRNGKey(2), cfg)
+        params["plane_xy"] = params["plane_xy"] + 0.1
+        # nonzero smooth gauge offsets so their gradient path is non-trivial
+        rng = np.random.default_rng(9)
+        for k in ("gauge_xy", "gauge_yz", "gauge_xz"):
+            params[k] = params[k] + 0.01 * jnp.asarray(
+                rng.normal(size=params[k].shape).astype(np.float32)
+            )
+
+        d = rng.normal(size=(24, 3)).astype(np.float32) * 0.1 + [0, 0, 1]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(
+            np.concatenate([np.tile([[0.0, 0.0, -4.0]], (24, 1)), d], -1),
+            jnp.float32,
+        )
+        tgt = jnp.asarray(rng.uniform(0, 1, (24, 3)).astype(np.float32))
+        base = RenderConfig(
+            aabb=((-1.5,) * 3, (1.5,) * 3), near=2.0, far=6.0,
+            n_samples=64, step_size=0.06, white_bg=True,
+            sample_cap=32, rgb_cap=16, group_size=8,
+        )
+
+        def loss(p, rc):
+            out = render_rays(p, cfg, rc, rays, None, is_train=False,
+                              iteration=10)
+            return jnp.mean((out["rgb_map"] - tgt) ** 2)
+
+        g0 = jax.grad(loss)(params, base)
+        g1 = jax.grad(loss)(params, dataclasses.replace(base, duo_bwd=True))
+        for k in ("gauge_xy", "gauge_yz", "gauge_xz", "plane_xy", "plane_yz"):
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-5, atol=1e-6,
+                err_msg=k,
+            )
+
     def test_odd_group_size_rejected(self):
         from ngf_tpu.fields import TriPlaneConfig, init_triplane
         from ngf_tpu.render import RenderConfig, render_rays
