@@ -75,7 +75,10 @@ def run_train(args):
         trainer.export_mesh(os.path.join(logfolder, "mesh.ply"))
         print("mesh exported")
 
-    render_fn = trainer.make_eval_render_fn()
+    # Final evaluations march the full geometry-derived sample count with
+    # no compaction, mirroring the reference's N_samples=-1 final evals
+    # (`InfoInv/main.py:338-346`) — see make_eval_render_fn(full=True).
+    render_fn = trainer.make_eval_render_fn(full=True)
     if args.render_train:
         train_stack = load_dataset(
             args.dataset_name, args.datadir, split="train",
@@ -124,11 +127,16 @@ def run_test(args):
     )
     params, meta, alpha_volume, alpha_aabb = load_checkpoint(args.ckpt)
     model_cfg = TriPlaneConfig(**meta["model_cfg"])
+    from ngf_tpu.utils.grid import grid_n_samples
+
     rcfg = RenderConfig(
         aabb=tuple(map(tuple, meta["aabb"])),
         near=meta["near_far"][0],
         far=meta["near_far"][1],
-        n_samples=meta["n_samples"],
+        # full geometry-derived marching, mirroring the reference's
+        # render-only evals (N_samples=-1 -> field nSamples,
+        # `InfoInv/main.py:46-58`, `FieldBase.py:71-72`)
+        n_samples=grid_n_samples(meta["aabb"], meta["step_size"]),
         step_size=meta["step_size"],
         distance_scale=args.distance_scale,
         ray_march_weight_thres=args.rm_weight_mask_thre,

@@ -396,16 +396,37 @@ class TriPlaneTrainer:
 
         return jax.jit(block)
 
-    def make_eval_render_fn(self, iteration: int | None = None):
+    def make_eval_render_fn(self, iteration: int | None = None, full: bool = False):
         """Compiled chunk renderer for the current stage.
 
         Jitted functions are cached per stage (render config + mask
         presence) with params/iteration as arguments, so periodic evals
         during training reuse one compilation (fresh compiles cost minutes
         on the remote-compile TPU backend).
+
+        ``full=True`` mirrors the reference's FINAL-evaluation semantics
+        (`InfoInv/main.py:338-346` passes N_samples=-1 -> the field's
+        geometry-derived nSamples, `FieldBase.py:71-72,122`): march the full
+        AABB diagonal regardless of the train-time ``--nSamples`` cap, with
+        no fixed-capacity compaction. Mid-training evals keep the train
+        marching length, exactly like the reference's
+        (`InfoInv/main.py:313-314` passes N_samples=nSamples). A train-time
+        marching cap otherwise silently truncates the far side of the scene
+        at test views — measured -5.6 dB on the A/B harness scene
+        (tools/reference_ab.py, NOTES.md round-3 log).
         """
+        import dataclasses as _dc
+
+        from ..utils.grid import grid_n_samples
+
         model_cfg = self.model_cfg
         rcfg = self._render_cfg()
+        if full:
+            rcfg = _dc.replace(
+                self._render_cfg(sample_cap=0),
+                n_samples=grid_n_samples(self.aabb, self.step_size),
+                rgb_cap=0,
+            )
         alpha = self.alpha
         cache_key = (rcfg, alpha is not None)
         if not hasattr(self, "_eval_render_cache"):

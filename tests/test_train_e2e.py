@@ -150,6 +150,49 @@ class TestSharding:
         np.testing.assert_allclose(p1, p2, rtol=5e-3, atol=2e-5)
 
 
+class TestFullEvalMarching:
+    def test_full_eval_marches_geometry_not_train_cap(self, datasets):
+        """make_eval_render_fn(full=True) must march the geometry-derived
+        sample count with no compaction, regardless of the train-time
+        --nSamples cap (reference N_samples=-1 final-eval semantics;
+        a -5.6 dB truncation bug caught by tools/reference_ab.py)."""
+        from ngf_tpu.utils.grid import grid_n_samples
+
+        train_ds, test_ds = datasets
+        # train-time marching capped WAY below the geometry (96 < ~190)
+        trainer = TriPlaneTrainer(
+            tiny_args(nSamples=96, sample_cap=48, rgb_cap=16),
+            train_ds, test_ds, None,
+        )
+        full_n = grid_n_samples(trainer.aabb, trainer.step_size)
+        assert full_n > trainer.n_samples
+
+        import dataclasses as _dc
+
+        got = {}
+        orig = trainer._render_cfg
+
+        def spy(sample_cap=None):
+            rc = orig(sample_cap=sample_cap)
+            got["last"] = rc
+            return rc
+
+        trainer._render_cfg = spy
+        fn = trainer.make_eval_render_fn(full=True)
+        # the cached compiled fn was built from the full config
+        (key,) = [k for k in trainer._eval_render_cache]
+        rcfg_used = key[0]
+        assert rcfg_used.n_samples == full_n
+        assert rcfg_used.sample_cap == 0
+        assert rcfg_used.rgb_cap == 0
+        # and it renders
+        import jax.numpy as jnp
+
+        rgb, depth = fn(jnp.asarray(trainer.all_rays[:16]))
+        assert rgb.shape == (16, 3)
+        assert np.isfinite(np.asarray(rgb)).all()
+
+
 class TestSampleParallelTrainer:
     def test_2d_mesh_training_matches_dense_single(self, datasets):
         """TriPlaneTrainer on a 2D (data x sample) mesh — reachable via

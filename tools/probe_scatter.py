@@ -75,16 +75,23 @@ def main():
 
     log(f"M={M} rows={ROWS} C={C} dtype={dt.__name__}; compiling probes...")
 
+    # Per-rep distinct index arrays: a loop-invariant body gets hoisted out
+    # of the scan by XLA (the scatter probes are immune — their carried
+    # table forms a per-rep dependency chain).
+    idx_reps = jnp.asarray(
+        (idx[None, :] + np.arange(REPS)[:, None] * 17) % ROWS, jnp.int32
+    )
+
     # gather rate reference
     @jax.jit
-    def gather(tbl, ix):
-        def step(acc, _):
+    def gather(tbl, ixs):
+        def step(acc, ix):
             return acc + jnp.take(tbl, ix, axis=0).sum(0), 0.0
-        out, _ = jax.lax.scan(step, jnp.zeros((C,), dt), None, length=REPS)
+        out, _ = jax.lax.scan(step, jnp.zeros((C,), dt), ixs)
         return out
 
-    timeit("gather", gather, jnp.asarray(rng.normal(size=(ROWS, C)), dt), idx_j,
-           per_desc=M)
+    timeit("gather", gather, jnp.asarray(rng.normal(size=(ROWS, C)), dt),
+           idx_reps, per_desc=M)
 
     def make_scatter(**kw):
         @jax.jit
@@ -117,18 +124,18 @@ def main():
 
     # one-sort segment-sum transpose
     @jax.jit
-    def sortseg(ix, v):
-        def step(acc, _):
+    def sortseg(ixs, v):
+        def step(acc, ix):
             order = jnp.argsort(ix)
             sv = jnp.take(v, order, axis=0)
             si = jnp.take(ix, order)
             seg = jax.ops.segment_sum(sv, si, num_segments=ROWS,
                                       indices_are_sorted=True)
             return acc + seg, 0.0
-        out, _ = jax.lax.scan(step, jnp.zeros((ROWS, C), dt), None, length=REPS)
+        out, _ = jax.lax.scan(step, jnp.zeros((ROWS, C), dt), ixs)
         return out
 
-    timeit("sortseg", sortseg, idx_j, vals, per_desc=M)
+    timeit("sortseg", sortseg, idx_reps, vals, per_desc=M)
 
 
 if __name__ == "__main__":
