@@ -363,7 +363,14 @@ def _axis_weight_grads(c: jnp.ndarray, size: int):
     return dw0, dw1
 
 
-@jax.custom_vjp
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _blocks_duobwd_impl(plane, coords, coord_grads: bool):
+    return _grid_sample_2d_blocks(plane, coords)
+
+
 def grid_sample_2d_blocks_duobwd(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Blocks-forward / duo-backward bilinear sampling.
 
@@ -372,9 +379,9 @@ def grid_sample_2d_blocks_duobwd(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp
     Backward: the plane-gradient scatter uses overlapping 4x4 stride-2 duo
     rows — ONE scatter descriptor per PAIR of consecutive samples — then a
     dense fold back to the plane (the transpose of :func:`make_duo_table`,
-    all static slices). TPU scatters are descriptor-rate bound (~41M/s,
-    NOTES.md round-2/3 probes), so halving the descriptor count halves the
-    dominant backward cost without touching the forward formulation.
+    all static slices). TPU scatters trade descriptor count against row
+    bytes at ~2/3 efficiency (NOTES.md round-3 probes), so the pair rows
+    cut ~1/3 of the dominant backward cost without touching the forward.
 
     Precondition (same as :func:`grid_sample_2d_duo`, guaranteed by the
     trainer's sampling geometry): coords[..., 2k, :] and coords[..., 2k+1, :]
@@ -386,15 +393,32 @@ def grid_sample_2d_blocks_duobwd(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp
       plane: (H, W, C).
       coords: (..., M, 2) with M even; x -> W axis, y -> H axis, [-1, 1].
     """
-    return _grid_sample_2d_blocks(plane, coords)
+    return _blocks_duobwd_impl(plane, coords, True)
 
 
-def _duobwd_fwd(plane, coords):
+def grid_sample_2d_blocks_duobwd_nocoord(
+    plane: jnp.ndarray, coords: jnp.ndarray
+) -> jnp.ndarray:
+    """:func:`grid_sample_2d_blocks_duobwd` with the coordinate-gradient
+    branch statically removed (coords cotangent = 0).
+
+    Use ONLY where the sample coordinates are not a function of any
+    differentiated parameter — true at every shipped duo_bwd call site: the
+    tri-plane lookups' coords are ray projections (InfoInv) and the
+    gauge-GRID lookups' coords are the undeformed projections (gauge
+    variant; the deformed-coord plane lookups there use plain autodiff).
+    Dropping the branch statically removes a full-size patch re-gather +
+    contraction from the backward instead of trusting XLA DCE to do it.
+    """
+    return _blocks_duobwd_impl(plane, coords, False)
+
+
+def _duobwd_fwd(plane, coords, coord_grads):
     out = _grid_sample_2d_blocks(plane, coords)
     return out, (plane, coords)
 
 
-def _duobwd_bwd(res, g):
+def _duobwd_bwd(coord_grads, res, g):
     plane, coords = res
     H, W, C = plane.shape
     hb, wb = (H + 1) // 2, (W + 1) // 2
@@ -407,27 +431,30 @@ def _duobwd_bwd(res, g):
     ys, wy0, wy1 = _axis_patch_weights(y, H)
     g = g.reshape(N, M, C)
 
-    # ---- coordinate gradients: need the forward patch; ONE re-gather of
-    # the block rows (same descriptor count as the forward — only incurred
-    # when coords are being differentiated; XLA dead-code-eliminates this
-    # whole branch when the coord cotangent is unused, e.g. the identity-
-    # gauge InfoInv path where coords do not depend on any parameter).
-    table = make_block_table(plane)
-    table_id = (ys & 1) * 2 + (xs & 1)
-    row4 = table_id * (hb * wb) + (ys >> 1) * wb + (xs >> 1)
-    patch = jnp.take(table, row4, axis=0).reshape(N, M, 4, C).astype(jnp.float32)
-    t = jnp.einsum("nmjc,nmc->nmj", patch, g.astype(jnp.float32))  # (N, M, 4)
-    dwx0, dwx1 = _axis_weight_grads(x, W)
-    dwy0, dwy1 = _axis_weight_grads(y, H)
-    gx = (
-        t[..., 0] * wy0 * dwx0 + t[..., 1] * wy0 * dwx1
-        + t[..., 2] * wy1 * dwx0 + t[..., 3] * wy1 * dwx1
-    ) * (0.5 * (W - 1))
-    gy = (
-        t[..., 0] * dwy0 * wx0 + t[..., 1] * dwy0 * wx1
-        + t[..., 2] * dwy1 * wx0 + t[..., 3] * dwy1 * wx1
-    ) * (0.5 * (H - 1))
-    coords_cot = jnp.stack([gx, gy], axis=-1).reshape(coords.shape).astype(coords.dtype)
+    if coord_grads:
+        # ---- coordinate gradients: need the forward patch; ONE re-gather
+        # of the block rows (same descriptor count as the forward). The
+        # _nocoord variant removes this statically — do not rely on XLA DCE.
+        table = make_block_table(plane)
+        table_id = (ys & 1) * 2 + (xs & 1)
+        row4 = table_id * (hb * wb) + (ys >> 1) * wb + (xs >> 1)
+        patch = jnp.take(table, row4, axis=0).reshape(N, M, 4, C).astype(jnp.float32)
+        t = jnp.einsum("nmjc,nmc->nmj", patch, g.astype(jnp.float32))  # (N, M, 4)
+        dwx0, dwx1 = _axis_weight_grads(x, W)
+        dwy0, dwy1 = _axis_weight_grads(y, H)
+        gx = (
+            t[..., 0] * wy0 * dwx0 + t[..., 1] * wy0 * dwx1
+            + t[..., 2] * wy1 * dwx0 + t[..., 3] * wy1 * dwx1
+        ) * (0.5 * (W - 1))
+        gy = (
+            t[..., 0] * dwy0 * wx0 + t[..., 1] * dwy0 * wx1
+            + t[..., 2] * dwy1 * wx0 + t[..., 3] * dwy1 * wx1
+        ) * (0.5 * (H - 1))
+        coords_cot = jnp.stack([gx, gy], axis=-1).reshape(coords.shape).astype(
+            coords.dtype
+        )
+    else:
+        coords_cot = jnp.zeros_like(coords)
 
     # ---- plane gradient via duo rows: one descriptor per sample PAIR.
     P = M // 2
@@ -474,7 +501,7 @@ def _duobwd_bwd(res, g):
     return plane_cot, coords_cot
 
 
-grid_sample_2d_blocks_duobwd.defvjp(_duobwd_fwd, _duobwd_bwd)
+_blocks_duobwd_impl.defvjp(_duobwd_fwd, _duobwd_bwd)
 
 
 def make_block_table_3d(volume: jnp.ndarray) -> jnp.ndarray:

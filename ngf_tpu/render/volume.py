@@ -270,7 +270,11 @@ def _render_rays_grouped(
     elif rcfg.duo_bwd:
         if G % 2:
             raise ValueError("duo_bwd requires an even group_size")
-        sampler = lambda p, c, name: _gs.grid_sample_2d_blocks_duobwd(p, c)
+        # _nocoord: every coordinate reaching this sampler is a ray
+        # projection (or, for the gauge grids, an undeformed projection) —
+        # never a function of parameters, so the coordinate-gradient branch
+        # is statically dropped (see grid_sample.py).
+        sampler = lambda p, c, name: _gs.grid_sample_2d_blocks_duobwd_nocoord(p, c)
     else:
         if rcfg.tile_q > 0 and rcfg.run_len > 1 and G % rcfg.run_len:
             # Runs must not straddle compacted group boundaries (samples
