@@ -41,7 +41,10 @@ class TestConfig:
         args = config_parser(["--config", "configs/lego_infoinv_tpu.txt"])
         assert args.update_AlphaMask_list == [300, 2000, 2500]
         assert args.sample_cap == -1
-        assert args.rgb_cap == -1
+        # dense shading + fused fetch: the round-3 quality-certified pair
+        # (rgb top-K truncation measured -6 dB on the A/B harness)
+        assert args.rgb_cap == 0
+        assert args.fused_fetch == 1
         assert args.open_sample_cap == 512
         assert args.compute_dtype == "bfloat16"
         assert args.steps_per_call == 8

@@ -228,7 +228,7 @@ def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         "--open_sample_cap", str(a.nsamples),
         "--rgb_cap", "-1",
         "--steps_per_call", "8",
-    ]
+    ] + (a.ours_extra.split() if a.ours_extra else [])
     t0 = time.time()
     subprocess.run(cmd, check=True, env=env, cwd=REPO)
     print(f"[ours] train+eval done in {time.time()-t0:.0f}s")
@@ -262,6 +262,9 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--nsamples", type=int, default=448)
     p.add_argument("--alpha-at", type=int, default=400)
+    p.add_argument("--ours-extra", default="",
+                   help="extra CLI flags appended to our main.py run "
+                        "(diagnostics, e.g. '--sample_cap 0 --rgb_cap 0')")
     a = p.parse_args()
 
     scene = os.path.join(a.out, "scene")
