@@ -287,3 +287,30 @@ class TestSampleParallel:
         np.testing.assert_allclose(
             np.asarray(g1["plane_xy"]), np.asarray(g2["plane_xy"]), atol=1e-4
         )
+
+
+class TestFusedDenseGrads:
+    def test_fused_dense_shading_grads_match_unfused(self):
+        """The shipped quality config (rgb_cap=0 + fused_fetch=1) must
+        produce the same parameter gradients as the unfused dense-shaded
+        grouped path (round-3 quality defaults, PARITY.md A/B)."""
+        cfg, params, rays = _setup_scene("infoinv", True)
+        base = dict(
+            aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)),
+            near=2.0, far=6.0, n_samples=96, step_size=0.033, white_bg=True,
+            group_size=8, sample_cap=96, rgb_cap=0,
+        )
+        tgt = jnp.zeros((rays.shape[0], 3))
+
+        def loss(p, rc):
+            out = render_rays(p, cfg, rc, rays, None, is_train=False)
+            return jnp.mean((out["rgb_map"] - tgt) ** 2)
+
+        g0 = jax.grad(loss)(params, RenderConfig(**base, fused_fetch=False))
+        g1 = jax.grad(loss)(params, RenderConfig(**base, fused_fetch=True))
+        for k in g0:
+            np.testing.assert_allclose(
+                np.asarray(jax.tree.leaves(g1[k])[0]),
+                np.asarray(jax.tree.leaves(g0[k])[0]),
+                atol=1e-5, err_msg=k,
+            )

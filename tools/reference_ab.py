@@ -30,7 +30,10 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_DIR = "/root/reference/InfoInv"
+REF_DIRS = {
+    "infoinv": "/root/reference/InfoInv",
+    "triplane": "/root/reference/TriPlane",
+}
 
 
 # --------------------------------------------------------------------- export
@@ -163,35 +166,40 @@ def _install_shims() -> None:
 
 def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
     _install_shims()
-    sys.path.insert(0, REF_DIR)
+    ref_dir = REF_DIRS[a.subsystem]
+    sys.path.insert(0, ref_dir)
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
-        "ref_infoinv_main", os.path.join(REF_DIR, "main.py")
+        "ref_main", os.path.join(ref_dir, "main.py")
     )
     ref_main = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_main)
 
-    args = ref_main.config_parser(
-        [
-            "--expname", "ref",
-            "--basedir", log_dir,
-            "--datadir", scene_dir,
-            "--dataset_name", "blender",
-            "--downsample_train", str(800.0 / a.wh),
-            "--downsample_test", str(800.0 / a.wh),
-            "--model_name", "TriPlane",
-            "--n_iters", str(a.iters),
-            "--batch_size", str(a.batch),
-            "--nSamples", str(a.nsamples),
-            "--update_AlphaMask_list", str(a.alpha_at),
-            "--upsamp_list", str(10 * a.iters),  # never fires
-            "--N_vis", "0",
-            "--vis_every", str(10 * a.iters),
-            "--render_test", "1",
-            "--infoinv",
-        ]
-    )
+    cmd = [
+        "--expname", "ref",
+        "--basedir", log_dir,
+        "--datadir", scene_dir,
+        "--dataset_name", "blender",
+        "--downsample_train", str(800.0 / a.wh),
+        "--downsample_test", str(800.0 / a.wh),
+        "--model_name", "TriPlane",
+        "--n_iters", str(a.iters),
+        "--batch_size", str(a.batch),
+        "--nSamples", str(a.nsamples),
+        "--update_AlphaMask_list", str(a.alpha_at),
+        "--upsamp_list", str(10 * a.iters),  # never fires
+        "--N_voxel_init", str(256 ** 3),
+        "--N_voxel_final", str(256 ** 3),
+        "--N_vis", "0",
+        "--vis_every", str(10 * a.iters),
+        "--render_test", "1",
+    ]
+    if a.subsystem == "infoinv":
+        cmd.append("--infoinv")
+    else:
+        cmd += ["--gauge_start", str(a.gauge_start)]
+    args = ref_main.config_parser(cmd)
     t0 = time.time()
     ref_main.train(args)
     print(f"[ref] train+eval done in {time.time()-t0:.0f}s")
@@ -211,8 +219,12 @@ def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         "--dataset_name", "blender",
         "--downsample_train", str(800.0 / a.wh),
         "--downsample_test", str(800.0 / a.wh),
-        "--subsystem", "infoinv",
-        "--infoinv",
+        "--subsystem", a.subsystem,
+    ] + (
+        ["--infoinv"] if a.subsystem == "infoinv"
+        else ["--gauge_start", str(a.gauge_start),
+              "--N_voxel_init", str(256 ** 3), "--N_voxel_final", str(256 ** 3)]
+    ) + [
         "--n_iters", str(a.iters),
         "--batch_size", str(a.batch),
         "--nSamples", str(a.nsamples),
@@ -262,6 +274,10 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--nsamples", type=int, default=448)
     p.add_argument("--alpha-at", type=int, default=400)
+    p.add_argument("--subsystem", default="infoinv",
+                   choices=["infoinv", "triplane"])
+    p.add_argument("--gauge-start", type=int, default=400, dest="gauge_start",
+                   help="triplane subsystem: learned-gauge activation iter")
     p.add_argument("--ours-extra", default="",
                    help="extra CLI flags appended to our main.py run "
                         "(diagnostics, e.g. '--sample_cap 0 --rgb_cap 0')")
