@@ -106,3 +106,97 @@ def test_full_forward_matches_actual_reference(infoinv, grouped):
     np.testing.assert_allclose(
         np.asarray(out["depth_map"]), out_ref["depth_map"].numpy(), atol=2e-3
     )
+
+
+TRI_REF_DIR = "/root/reference/TriPlane"
+
+
+def _import_tri_reference():
+    # the TriPlane mirror shadows module names (models/, dataLoader/) with
+    # the InfoInv package already imported in this process; import its
+    # Field module by explicit file location with a private package name
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "tri_models", os.path.join(TRI_REF_DIR, "models", "__init__.py"),
+        submodule_search_locations=[os.path.join(TRI_REF_DIR, "models")],
+    )
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["tri_models"] = pkg
+    spec.loader.exec_module(pkg)
+    fspec = importlib.util.spec_from_file_location(
+        "tri_models.Field", os.path.join(TRI_REF_DIR, "models", "Field.py")
+    )
+    field_mod = importlib.util.module_from_spec(fspec)
+    sys.modules["tri_models.Field"] = field_mod
+    fspec.loader.exec_module(field_mod)
+    return field_mod.TriPlane
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(TRI_REF_DIR), reason="TriPlane reference mirror absent"
+)
+@pytest.mark.parametrize("gauge_active", [False, True])
+def test_gauge_forward_matches_actual_reference(gauge_active):
+    """Full forward parity vs the ACTUAL TriPlane (learned gauge) reference
+    with NONZERO gauge offsets — pins the gauge deformation + cross-plane
+    coupling + 16/48 split + Linear density head against the original code
+    (`TriPlane/models/Field.py:53-105`)."""
+    RefTriPlane = _import_tri_reference()
+    aabb = torch.tensor([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    ref = RefTriPlane(aabb, [48, 48, 48], "cpu", near_far=[2.0, 6.0],
+                      gauge_start=100)
+
+    cfg = TriPlaneConfig(
+        **{**TriPlaneConfig.gauge_preset(gauge_start=100).__dict__,
+           "plane_res": 256, "gauge_res": 256}
+    )
+    params = dict(init_triplane(jax.random.PRNGKey(3), cfg))
+    rng = np.random.default_rng(13)
+    for k in ("gauge_xy", "gauge_yz", "gauge_xz"):
+        params[k] = jnp.asarray(
+            0.03 * rng.standard_normal(params[k].shape).astype(np.float32)
+        )
+
+    def t(a):
+        return torch.from_numpy(np.array(jax.device_get(a))).float()
+
+    with torch.no_grad():
+        for name in ("plane_xy", "plane_yz", "plane_xz", "gauge_xy",
+                     "gauge_yz", "gauge_xz"):
+            setattr(
+                ref, name,
+                torch.nn.Parameter(t(params[name]).permute(2, 0, 1)[None].contiguous()),
+            )
+        ref.density_decoder.weight.copy_(t(params["density_decoder"]["w"]).T)
+        ref.density_decoder.bias.copy_(t(params["density_decoder"]["b"]))
+        ref.rgb_decoder.basis.weight.copy_(t(params["rgb_decoder"]["basis"]["w"]).T)
+        for i, li in enumerate((0, 2, 4)):
+            lp = params["rgb_decoder"]["mlp"]["layers"][i]
+            ref.rgb_decoder.mlp[li].weight.copy_(t(lp["w"]).T)
+            ref.rgb_decoder.mlp[li].bias.copy_(t(lp["b"]))
+
+    n_samples = int(ref.nSamples)
+    rcfg = RenderConfig(
+        aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)), near=2.0, far=6.0,
+        n_samples=n_samples, step_size=float(ref.stepSize), white_bg=True,
+    )
+    g = torch.Generator().manual_seed(17)
+    d = torch.randn(48, 3, generator=g) * 0.25 + torch.tensor([0.0, 0.0, 1.0])
+    d = torch.nn.functional.normalize(d, dim=-1)
+    rays_t = torch.cat([torch.tensor([[0.0, 0.0, -4.0]]).repeat(48, 1), d], dim=-1)
+
+    it = 500 if gauge_active else 50  # vs gauge_start=100
+    with torch.no_grad():
+        out_ref = ref(rays_t, True, False, n_samples, iteration=it)
+
+    out = jax.jit(
+        lambda p, r: render_rays(p, cfg, rcfg, r, None, is_train=False,
+                                 iteration=it)
+    )(params, jnp.asarray(rays_t.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_map"]), out_ref["rgb_map"].numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth_map"]), out_ref["depth_map"].numpy(), atol=2e-3
+    )

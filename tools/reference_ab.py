@@ -188,7 +188,14 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         "--batch_size", str(a.batch),
         "--nSamples", str(a.nsamples),
         "--update_AlphaMask_list", str(a.alpha_at),
-        "--upsamp_list", str(10 * a.iters),  # never fires
+        # An upsample co-scheduled with the shrink event mirrors the
+        # reference's own lego schedule (upsamp_list and
+        # update_AlphaMask_list both start at 2000): the reference's
+        # shrink() replaces plane Parameters WITHOUT recreating the
+        # optimizer (TriPlane/main.py:334-341), so without a same-iteration
+        # upsample its planes silently stop training (stale Adam refs) — a
+        # latent reference bug its shipped configs never expose.
+        "--upsamp_list", str(a.upsamp_at if a.upsamp_at else 10 * a.iters),
         "--N_voxel_init", str(256 ** 3),
         "--N_voxel_final", str(256 ** 3),
         "--N_vis", "0",
@@ -224,6 +231,7 @@ def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         ["--infoinv"] if a.subsystem == "infoinv"
         else ["--gauge_start", str(a.gauge_start),
               "--N_voxel_init", str(256 ** 3), "--N_voxel_final", str(256 ** 3)]
+        + (["--upsamp_list", str(a.upsamp_at)] if a.upsamp_at else [])
     ) + [
         "--n_iters", str(a.iters),
         "--batch_size", str(a.batch),
@@ -278,6 +286,10 @@ def main() -> None:
                    choices=["infoinv", "triplane"])
     p.add_argument("--gauge-start", type=int, default=400, dest="gauge_start",
                    help="triplane subsystem: learned-gauge activation iter")
+    p.add_argument("--upsamp-at", type=int, default=0, dest="upsamp_at",
+                   help="triplane: upsample event iteration (0 = never); "
+                        "co-schedule with --alpha-at to mirror the "
+                        "reference lego schedule")
     p.add_argument("--ours-extra", default="",
                    help="extra CLI flags appended to our main.py run "
                         "(diagnostics, e.g. '--sample_cap 0 --rgb_cap 0')")
