@@ -118,6 +118,48 @@ def _occupied_counts_numpy(trainer, train_ds, max_rays: int = 0):
     return np.concatenate(counts)
 
 
+def _shaded_group_counts_numpy(trainer, train_ds, max_rays: int = 65536):
+    """Per-ray count of G-sample groups whose best blend weight clears the
+    shading threshold — the host-side fixed point of the trainer's
+    rgb_cap = -2 statistic (`render/volume.py:shaded_groups`), computed
+    from the analytic density the trainer converges to (same rationale as
+    `_analytic_alpha_grid`). Marches the trainer's step grid with the
+    trainer's alpha semantics (raw2alpha: 1 - exp(-sigma*step*dscale))."""
+    import numpy as np
+
+    from ngf_tpu.data.synthetic import _field
+
+    stride = max(1, trainer.all_rays.shape[0] // max_rays)
+    rays_all = trainer.all_rays[::stride][:max_rays]
+    aabb = np.asarray(trainer.aabb, np.float32)
+    near, far = [float(v) for v in train_ds.near_far]
+    g = max(1, trainer.args.group_size)
+    thresh = float(trainer.args.rm_weight_mask_thre)
+    dscale = float(trainer.args.distance_scale)
+    counts = []
+    for i in range(0, rays_all.shape[0], 8192):
+        rays = rays_all[i : i + 8192]
+        o, d = rays[:, :3], rays[:, 3:6]
+        vec = np.where(d == 0, 1e-6, d)
+        t_min = np.clip(
+            np.max(np.minimum((aabb[1] - o) / vec, (aabb[0] - o) / vec), -1), near, far
+        )
+        z = t_min[:, None] + trainer.step_size * np.arange(trainer.n_samples)[None, :]
+        pts = o[:, None, :] + d[:, None, :] * z[..., None]
+        inb = np.all((pts >= aabb[0]) & (pts <= aabb[1]), -1)
+        sigma, _ = _field(pts.reshape(-1, 3))
+        sigma = sigma.reshape(pts.shape[:2]) * inb
+        alpha = 1.0 - np.exp(-sigma * trainer.step_size * dscale)
+        trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
+        weight = alpha * np.concatenate(
+            [np.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1
+        )
+        s = weight.shape[1] - weight.shape[1] % g
+        gw = weight[:, :s].reshape(weight.shape[0], -1, g).max(-1)
+        counts.append((gw > thresh).sum(-1))
+    return np.concatenate(counts)
+
+
 def bench_uv() -> dict:
     """UV-Mapping (NeuTex) train-step throughput at the reference DTU
     workload: 576 rays (24^2 balanced patch), 64 samples/ray, square
@@ -311,6 +353,13 @@ def main() -> None:
                 _occupied_counts_numpy(trainer, train_ds), trainer.n_samples
             )
             log(f"auto sample_cap -> {trainer._auto_cap}")
+        if args.rgb_cap == -2:
+            # host-side analytic fixed point of the trainer's measured auto
+            # shading capacity (see _shaded_group_counts_numpy docstring)
+            cnt = _shaded_group_counts_numpy(trainer, train_ds)
+            p999 = float(np.quantile(cnt, 0.999))
+            trainer._rgb_stat = int(np.ceil(p999))
+            trainer._update_auto_rgb_cap()
         trainer._build_step()
     log(f"[{time.time()-t0:5.1f}s] trainer built (stage={stage}, impl={impl}, "
         f"dtype={args.compute_dtype}, cap={args.sample_cap}, rgb={args.rgb_cap})")

@@ -118,7 +118,12 @@ class TrainArgs:
     sample_cap: int = 0  # per-ray sample capacity; 0 = dense, -1 = auto
     # (-1: dense until the first occupancy grid, then the measured
     # 99.9th-percentile occupied-samples count — no silent truncation)
-    rgb_cap: int = 0  # top-K shading capacity; 0 = all, -1 = sample_cap/4
+    rgb_cap: int = 0  # top-K shading capacity; 0 = all (dense, reference
+    # semantics), -1 = sample_cap/4 (aggressive, measurably lossy in
+    # training — NOTES.md), -2 = AUTO: the measured ~p99.9 per-ray count of
+    # above-threshold shaded groups + 25% margin, re-picked at event
+    # rebuilds (exactly reproduces dense shading while the margin holds —
+    # sub-threshold samples are rgb-masked to zero in both codebases)
     # Pre-mask (open) stage capacity when sample_cap == -1: before the first
     # occupancy grid exists there are no statistics to auto-tune from, and
     # dense S=886 x 4096-ray scan blocks exceed HBM on a single v5e chip.
@@ -139,8 +144,11 @@ class TrainArgs:
     # one descriptor per TWO consecutive samples (grouped path, even
     # group_size; see ops/grid_sample.py:make_duo_table).
     pair_gather: int = 0
-    # fused_fetch=0: measured 130 ms/step vs 88 unfused on v5e (the full-row
-    # gather + scatter bytes outweigh the saved rgb descriptors); see NOTES.
+    # fused_fetch=1: ONE 96-channel gather per sample serves density AND
+    # appearance. A regression vs top-K-shaded separate fetches (round 2:
+    # 130 vs 88 ms/step), but it HALVES gather+scatter descriptors vs
+    # dense-shaded separate fetches — the shipped TPU configs enable it
+    # together with dense shading (rgb_cap 0/-2); see NOTES.md round 3.
     fused_fetch: int = 0
     # duo_bwd=1: blocks-forward / duo-backward plane sampling — halves the
     # backward plane-gradient scatter descriptors (the training-step wall)

@@ -355,7 +355,21 @@ def _render_rays_grouped(
     depth_map = jax.lax.stop_gradient(
         depth_map + (1.0 - acc_map) * rays[..., -1]
     )
-    return {"rgb_map": rgb_map, "depth_map": depth_map, "acc_map": acc_map}
+    out = {"rgb_map": rgb_map, "depth_map": depth_map, "acc_map": acc_map}
+    if is_train:
+        # Per-ray count of groups whose best blend weight clears the
+        # reference's shading threshold (`FieldBase.py:261` app_mask) —
+        # the statistic behind rgb_cap = -2 (measured auto rgb capacity):
+        # any group top-K with K >= this count reproduces dense shading
+        # EXACTLY, because sub-threshold samples are rgb-masked to zero in
+        # both codebases. Computed over ALL compacted groups (independent
+        # of the currently active kg), so the measurement stays valid
+        # while a cap is already applied.
+        gw_all = weight.reshape(n, capg, G).max(-1)
+        out["shaded_groups"] = jnp.sum(
+            gw_all > rcfg.ray_march_weight_thres, axis=-1
+        ).astype(jnp.int32)
+    return out
 
 
 def render_rays(

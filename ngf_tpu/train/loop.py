@@ -130,6 +130,10 @@ class TriPlaneTrainer:
         # Default 8e-5, matching the reference's hardcode (`InfoInv/main.py:259`);
         # explicit --L1_weight_initial values take effect (see config.py note).
         self.l1_weight = args.L1_weight_initial
+        # rgb_cap = -2 (auto) machinery: running ~p99.9 of per-ray shaded
+        # group counts, reported by the train step; 0 = dense until measured.
+        self._rgb_stat = 0
+        self._auto_rgb_cap = 0
         self.iteration = 0
 
         self.n_voxel_list = self._voxel_schedule()
@@ -199,6 +203,37 @@ class TriPlaneTrainer:
             return self.args.masked_sample_cap
         return getattr(self, "_auto_cap", 0)
 
+    def _resolve_rgb_cap(self) -> int:
+        """rgb_cap knob: 0 = dense shading (reference semantics, default);
+        -1 = aggressive top-K at sample_cap/4 (documented lossy, NOTES.md);
+        -2 = AUTO — the measured shading capacity: the train step reports
+        the per-batch ~p99.9 count of groups whose best blend weight clears
+        ``rm_weight_mask_thre`` (the set the reference actually shades,
+        `InfoInv/models/FieldBase.py:259-262`), and event rebuilds set the
+        cap to that count plus margin. Dense until the first measurement,
+        so the open stage is never capped."""
+        a = self.args.rgb_cap
+        cap = self._effective_sample_cap()
+        if a == -1 and cap:
+            return max(32, cap // 4)
+        if a == -2:
+            return self._auto_rgb_cap
+        return max(0, a)
+
+    def _update_auto_rgb_cap(self):
+        """Re-pick the auto shading capacity from the statistic collected
+        since the last rebuild (called at event boundaries, where the step
+        recompiles anyway)."""
+        if self.args.rgb_cap != -2 or self._rgb_stat <= 0:
+            return
+        g = max(1, self.args.group_size)
+        kg = int(np.ceil(self._rgb_stat * 1.25)) + 1  # groups + 25% margin
+        self._auto_rgb_cap = kg * g
+        print(
+            f"[trainer] auto rgb_cap -> {self._auto_rgb_cap} "
+            f"(~p99.9 shaded groups {self._rgb_stat} + margin)"
+        )
+
     def _render_cfg(self, sample_cap: int | None = None) -> RenderConfig:
         return RenderConfig(
             aabb=tuple(map(tuple, self.aabb.tolist())),
@@ -210,11 +245,7 @@ class TriPlaneTrainer:
             ray_march_weight_thres=self.args.rm_weight_mask_thre,
             white_bg=self.train_dataset.white_bg,
             sample_cap=self._effective_sample_cap() if sample_cap is None else sample_cap,
-            rgb_cap=(
-                max(32, self._effective_sample_cap() // 4)
-                if self.args.rgb_cap == -1 and self._effective_sample_cap()
-                else max(0, self.args.rgb_cap)
-            ),
+            rgb_cap=self._resolve_rgb_cap(),
             mask_stride=self.args.mask_stride,
             group_size=self.args.group_size,
             run_len=self.args.run_len,
@@ -270,6 +301,13 @@ class TriPlaneTrainer:
                     alpha_volume=vol, alpha_aabb=vaabb, alpha_table=vtable,
                 )
             mse = jnp.mean((out["rgb_map"] - rgbs) ** 2)
+            cnt = out.get("shaded_groups")
+            if cnt is None:
+                stat = jnp.int32(0)
+            else:
+                # ~p99.9 of the batch: the 5th-largest per-ray count.
+                k = min(5, cnt.shape[0])
+                stat = jax.lax.top_k(cnt, k)[0][k - 1]
             loss = mse + l1_w * density_l1(p)
             # Optional TV regularizers over the plane channels (the reference
             # exposes the weights but comments the terms out,
@@ -286,7 +324,7 @@ class TriPlaneTrainer:
                         loss = loss + tv_app * 1e-2 * tv_loss_2d(
                             p[name][..., density_dim:]
                         )
-            return loss, mse
+            return loss, (mse, stat)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -295,7 +333,7 @@ class TriPlaneTrainer:
             rays, rgbs, key, iteration, l1_w, vol, vaabb, vtable = batch
 
             if micro <= 1:
-                (_, mse), grads = grad_fn(
+                (_, (mse, stat)), grads = grad_fn(
                     params, rays, rgbs, key, iteration, l1_w, vol, vaabb, vtable
                 )
             else:
@@ -308,24 +346,26 @@ class TriPlaneTrainer:
                 keys_m = jax.random.split(key, micro)
 
                 def acc_body(acc, xs):
-                    g_acc, mse_acc = acc
+                    g_acc, mse_acc, stat_acc = acc
                     r, g, k = xs
-                    (_, mse_i), grads_i = grad_fn(
+                    (_, (mse_i, stat_i)), grads_i = grad_fn(
                         params, r, g, k, iteration, l1_w, vol, vaabb, vtable
                     )
                     g_acc = jax.tree.map(lambda a, b: a + b, g_acc, grads_i)
-                    return (g_acc, mse_acc + mse_i), None
+                    return (g_acc, mse_acc + mse_i, jnp.maximum(stat_acc, stat_i)), None
 
                 zero = jax.tree.map(jnp.zeros_like, params)
-                (grads, mse), _ = jax.lax.scan(
-                    acc_body, (zero, jnp.float32(0.0)), (rays_m, rgbs_m, keys_m)
+                (grads, mse, stat), _ = jax.lax.scan(
+                    acc_body,
+                    (zero, jnp.float32(0.0), jnp.int32(0)),
+                    (rays_m, rgbs_m, keys_m),
                 )
                 grads = jax.tree.map(lambda g: g / micro, grads)
                 mse = mse / micro
 
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), mse
+            return (params, opt_state), (mse, stat)
 
         if has_alpha:
             vol_c, vaabb_c = self.alpha.volume, self.alpha.aabb
@@ -336,10 +376,10 @@ class TriPlaneTrainer:
                     r, g, k, it = xs
                     return one_step(carry, (r, g, k, it, l1_w, vol_c, vaabb_c, table_c))
 
-                (params, opt_state), mses = jax.lax.scan(
+                (params, opt_state), (mses, stats) = jax.lax.scan(
                     body, (params, opt_state), (rays, rgbs, keys, iterations)
                 )
-                return params, opt_state, mses
+                return params, opt_state, mses, stats
         else:
 
             def block(params, opt_state, rays, rgbs, keys, iterations, l1_w):
@@ -347,10 +387,10 @@ class TriPlaneTrainer:
                     r, g, k, it = xs
                     return one_step(carry, (r, g, k, it, l1_w, None, None, None))
 
-                (params, opt_state), mses = jax.lax.scan(
+                (params, opt_state), (mses, stats) = jax.lax.scan(
                     body, (params, opt_state), (rays, rgbs, keys, iterations)
                 )
-                return params, opt_state, mses
+                return params, opt_state, mses, stats
 
         if self.mesh is not None:
             repl = replicated_sharding(self.mesh)
@@ -362,7 +402,7 @@ class TriPlaneTrainer:
             self._step = jax.jit(
                 block,
                 in_shardings=(repl, repl, block_sharding, block_sharding, repl, repl, repl),
-                out_shardings=(repl, repl, repl),
+                out_shardings=(repl, repl, repl, repl),
                 donate_argnums=(0, 1),
             )
         else:
@@ -481,7 +521,13 @@ class TriPlaneTrainer:
             prev=self.alpha,
         )
         if first:
-            self.l1_weight = self.args.L1_weight_rest  # `InfoInv/main.py:328`
+            if self.args.subsystem != "triplane":
+                # InfoInv drops the L1 weight at the first mask event
+                # (`InfoInv/main.py:328`); the TriPlane trainer hardcodes a
+                # CONSTANT 8e-5 for the whole run (`TriPlane/main.py:261` —
+                # no reassignment anywhere in its loop), so the gauge
+                # subsystem keeps the initial weight.
+                self.l1_weight = self.args.L1_weight_rest
             if self.args.subsystem == "triplane":
                 self._event_shrink(new_aabb)
             keep = filter_rays_alpha(
@@ -509,6 +555,7 @@ class TriPlaneTrainer:
             self._auto_cap = auto_sample_cap(counts, self.n_samples)
             print(f"[trainer] auto sample_cap -> {self._auto_cap} "
                   f"(p99.9 occupied samples/ray)")
+        self._update_auto_rgb_cap()
         self._build_step()
 
     def _event_shrink(self, new_aabb: np.ndarray):
@@ -545,6 +592,7 @@ class TriPlaneTrainer:
         self.step_size = grid_step_size(self.aabb, self.grid_size, self.args.step_ratio)
         # optimizer recreated at initial LRs -> schedule restarts.
         self._make_optimizer(reset=True)
+        self._update_auto_rgb_cap()
         self._build_step()
 
     # ------------------------------------------------------------------ train
@@ -592,12 +640,13 @@ class TriPlaneTrainer:
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, size)
         iterations = jnp.arange(self.iteration, self.iteration + size, dtype=jnp.int32)
-        self.params, self.opt_state, mses = self._step(
+        self.params, self.opt_state, mses, stats = self._step(
             self.params, self.opt_state,
             jnp.asarray(rays), jnp.asarray(rgbs),
             keys, iterations, jnp.float32(self.l1_weight),
         )
         self.iteration += size
+        self._rgb_stat = max(self._rgb_stat, int(np.max(np.asarray(stats))))
         return np.asarray(mses)
 
     def run(self, progress_cb=None) -> dict:
@@ -660,7 +709,8 @@ class TriPlaneTrainer:
                     scalars.write(
                         self.iteration,
                         {"train/psnr": train_psnr, "train/mse": mses_accum[-1],
-                         "train/l1_weight": self.l1_weight},
+                         "train/l1_weight": self.l1_weight,
+                         "train/shaded_groups_p999": self._rgb_stat},
                     )
                 if progress_cb:
                     progress_cb(self.iteration, mses_accum[-1] if mses_accum else None)

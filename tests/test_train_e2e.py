@@ -76,6 +76,50 @@ class TestTrainingLoop:
         # l1 weight dropped (`InfoInv/main.py:328`)
         assert trainer.l1_weight == pytest.approx(4e-5)
 
+    def test_auto_rgb_cap_matches_dense(self, datasets):
+        """rgb_cap = -2 (measured auto shading capacity) must reproduce the
+        dense-shading trajectory: every group it drops is below the
+        reference's weight threshold, whose samples are rgb-masked to zero
+        in BOTH shading modes (`InfoInv/models/FieldBase.py:259-262`)."""
+        train_ds, test_ds = datasets
+        kw = dict(n_iters=192, update_AlphaMask_list=[160], sample_cap=-1,
+                  open_sample_cap=64)
+        t_auto = TriPlaneTrainer(tiny_args(rgb_cap=-2, **kw), train_ds, test_ds, None)
+        t_auto.run()
+        # the cap was actually measured + applied at the event rebuild
+        assert t_auto._rgb_stat > 0
+        assert t_auto._auto_rgb_cap > 0
+        assert t_auto._auto_rgb_cap % t_auto.args.group_size == 0
+
+        # Same-params forward + gradient comparison, capped vs dense.
+        from ngf_tpu.render.volume import render_rays
+
+        rcfg_auto = t_auto._render_cfg()
+        assert rcfg_auto.rgb_cap == t_auto._auto_rgb_cap
+        rcfg_dense = dataclasses.replace(rcfg_auto, rgb_cap=0)
+        rays = jnp.asarray(np.asarray(t_auto.all_rays[:256]))
+        rgbs = jnp.asarray(np.asarray(t_auto.all_rgbs[:256]))
+        key = jax.random.PRNGKey(7)
+        a = t_auto.alpha
+
+        def loss(p, rcfg):
+            out = render_rays(
+                p, t_auto.model_cfg, rcfg, rays, key,
+                is_train=True, iteration=t_auto.iteration,
+                alpha_volume=a.volume, alpha_aabb=a.aabb, alpha_table=a.table,
+            )
+            return jnp.mean((out["rgb_map"] - rgbs) ** 2)
+
+        la, ga = jax.value_and_grad(lambda p: loss(p, rcfg_auto))(t_auto.params)
+        ld, gd = jax.value_and_grad(lambda p: loss(p, rcfg_dense))(t_auto.params)
+        np.testing.assert_allclose(float(la), float(ld), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+            ),
+            ga, gd,
+        )
+
     def test_triplane_subsystem_shrink_and_upsample(self, datasets):
         train_ds, test_ds = datasets
         args = tiny_args(
@@ -96,6 +140,9 @@ class TestTrainingLoop:
         assert trainer.params["gauge_xy"].shape[-1] == 2
         # gauge grids received gradient after gauge_start
         assert float(jnp.abs(trainer.params["gauge_xy"]).sum()) > 0
+        # TriPlane keeps the CONSTANT 8e-5 L1 weight — no drop at the mask
+        # event (`TriPlane/main.py:261`; the 8e-5 -> 4e-5 switch is InfoInv-only)
+        assert trainer.l1_weight == pytest.approx(args.L1_weight_initial)
 
     def test_eval_render(self, datasets):
         train_ds, test_ds = datasets

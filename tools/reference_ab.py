@@ -246,7 +246,11 @@ def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         # framework as shipped vs the reference as shipped)
         "--sample_cap", "-1",
         "--open_sample_cap", str(a.nsamples),
-        "--rgb_cap", "-1",
+        # dense fused shading — the shipped quality configuration (rgb
+        # top-K is the documented aggressive knob and measurably lossy
+        # during training, PARITY.md)
+        "--rgb_cap", "0",
+        "--fused_fetch", "1",
         "--steps_per_call", "8",
     ] + (a.ours_extra.split() if a.ours_extra else [])
     t0 = time.time()
