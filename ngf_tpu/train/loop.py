@@ -521,13 +521,10 @@ class TriPlaneTrainer:
             prev=self.alpha,
         )
         if first:
-            if self.args.subsystem != "triplane":
-                # InfoInv drops the L1 weight at the first mask event
-                # (`InfoInv/main.py:328`); the TriPlane trainer hardcodes a
-                # CONSTANT 8e-5 for the whole run (`TriPlane/main.py:261` —
-                # no reassignment anywhere in its loop), so the gauge
-                # subsystem keeps the initial weight.
-                self.l1_weight = self.args.L1_weight_rest
+            # Both subsystems drop the L1 weight at the first mask event
+            # (`InfoInv/main.py:328`, `TriPlane/main.py:337` — the TriPlane
+            # reassignment sits inside the shrink branch).
+            self.l1_weight = self.args.L1_weight_rest
             if self.args.subsystem == "triplane":
                 self._event_shrink(new_aabb)
             keep = filter_rays_alpha(
@@ -592,6 +589,22 @@ class TriPlaneTrainer:
         self.step_size = grid_step_size(self.aabb, self.grid_size, self.args.step_ratio)
         # optimizer recreated at initial LRs -> schedule restarts.
         self._make_optimizer(reset=True)
+        if self.args.sample_cap == -1 and self.alpha is not None:
+            # The upsample changed step_size (after a shrink, by the full
+            # aabb-to-aabb ratio: 0.0059 -> 0.0017 on the reference lego
+            # schedule), so per-ray OCCUPIED-sample counts scale up by the
+            # same factor. A capacity measured at the old step would
+            # silently truncate the rear of every object chord — re-measure
+            # at the new marching resolution.
+            counts = occupied_samples_per_ray(
+                self.all_rays, self.alpha, self.aabb,
+                float(self.train_dataset.near_far[0]),
+                float(self.train_dataset.near_far[1]),
+                self.step_size, self.n_samples,
+            )
+            self._auto_cap = auto_sample_cap(counts, self.n_samples)
+            print(f"[trainer] auto sample_cap -> {self._auto_cap} "
+                  f"(re-measured at upsampled step size)")
         self._update_auto_rgb_cap()
         self._build_step()
 

@@ -140,9 +140,37 @@ class TestTrainingLoop:
         assert trainer.params["gauge_xy"].shape[-1] == 2
         # gauge grids received gradient after gauge_start
         assert float(jnp.abs(trainer.params["gauge_xy"]).sum()) > 0
-        # TriPlane keeps the CONSTANT 8e-5 L1 weight — no drop at the mask
-        # event (`TriPlane/main.py:261`; the 8e-5 -> 4e-5 switch is InfoInv-only)
-        assert trainer.l1_weight == pytest.approx(args.L1_weight_initial)
+        # TriPlane also drops L1 to 4e-5 at the first mask event
+        # (`TriPlane/main.py:337`, inside the shrink branch)
+        assert trainer.l1_weight == pytest.approx(args.L1_weight_rest)
+
+    def test_auto_cap_remeasured_after_upsample(self, datasets):
+        """An upsample event changes step_size (post-shrink, by the full
+        aabb ratio on the reference lego schedule), so a sample capacity
+        measured at the previous step would silently truncate the rear of
+        every object chord. The trainer must re-measure `_auto_cap` at the
+        new marching resolution (`TriPlane/main.py:345-357` recomputes
+        nSamples there for the same reason)."""
+        train_ds, test_ds = datasets
+        kw = dict(subsystem="triplane", gauge_start=10**6, n_iters=176,
+                  update_AlphaMask_list=[160], upsamp_list=[160],
+                  N_voxel_init=48**3, N_voxel_final=96**3,
+                  sample_cap=-1, open_sample_cap=64)
+        t = TriPlaneTrainer(tiny_args(**kw), train_ds, test_ds, None)
+        t.run()
+        from ngf_tpu.train.occupancy import (
+            auto_sample_cap,
+            occupied_samples_per_ray,
+        )
+
+        counts = occupied_samples_per_ray(
+            t.all_rays, t.alpha, t.aabb,
+            float(train_ds.near_far[0]), float(train_ds.near_far[1]),
+            t.step_size, t.n_samples,
+        )
+        assert t._auto_cap == auto_sample_cap(counts, t.n_samples), (
+            "auto sample_cap is stale: measured at the pre-upsample step size"
+        )
 
     def test_eval_render(self, datasets):
         train_ds, test_ds = datasets
