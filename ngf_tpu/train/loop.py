@@ -229,9 +229,18 @@ class TriPlaneTrainer:
         g = max(1, self.args.group_size)
         kg = int(np.ceil(self._rgb_stat * 1.25)) + 1  # groups + 25% margin
         self._auto_rgb_cap = kg * g
+        # Per-stage statistic window: reset so the NEXT event re-picks from
+        # the weights of the stage in between. Early-training (open-stage)
+        # weight distributions are diffuse — a whole-run running max would
+        # pin the cap above the sample capacity forever (measured: the
+        # 1600-iter cert run picked 520 > sample cap 224, i.e. inert).
+        # Weight support only concentrates as training converges, so
+        # per-stage picks shrink toward the converged capacity; the 25%
+        # margin covers within-stage drift.
+        self._rgb_stat = 0
         print(
             f"[trainer] auto rgb_cap -> {self._auto_rgb_cap} "
-            f"(~p99.9 shaded groups {self._rgb_stat} + margin)"
+            f"(~p99.9 shaded groups + margin, per-stage window)"
         )
 
     def _render_cfg(self, sample_cap: int | None = None) -> RenderConfig:
