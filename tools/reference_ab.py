@@ -203,7 +203,8 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         "--render_test", "1",
     ]
     if a.subsystem == "infoinv":
-        cmd.append("--infoinv")
+        if a.infoinv:
+            cmd.append("--infoinv")  # BASELINE config #2; omit for #1 (plain)
     else:
         cmd += ["--gauge_start", str(a.gauge_start)]
     args = ref_main.config_parser(cmd)
@@ -228,7 +229,7 @@ def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         "--downsample_test", str(800.0 / a.wh),
         "--subsystem", a.subsystem,
     ] + (
-        ["--infoinv"] if a.subsystem == "infoinv"
+        (["--infoinv"] if a.infoinv else []) if a.subsystem == "infoinv"
         else ["--gauge_start", str(a.gauge_start),
               "--N_voxel_init", str(256 ** 3), "--N_voxel_final", str(256 ** 3)]
         + (["--upsamp_list", str(a.upsamp_at)] if a.upsamp_at else [])
@@ -288,6 +289,10 @@ def main() -> None:
     p.add_argument("--alpha-at", type=int, default=400)
     p.add_argument("--subsystem", default="infoinv",
                    choices=["infoinv", "triplane"])
+    p.add_argument("--infoinv", type=int, default=1,
+                   help="infoinv subsystem: 1 = --infoinv encoding "
+                        "(BASELINE config #2), 0 = plain TriPlane "
+                        "orthogonal projection (config #1)")
     p.add_argument("--gauge-start", type=int, default=400, dest="gauge_start",
                    help="triplane subsystem: learned-gauge activation iter")
     p.add_argument("--upsamp-at", type=int, default=0, dest="upsamp_at",
