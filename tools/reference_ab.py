@@ -72,6 +72,61 @@ def export_scene(scene_dir: str, views: int, test_views: int, wh: int) -> None:
     print(f"[export] wrote {views}+{test_views} views at {wh}x{wh} -> {scene_dir}")
 
 
+def export_scene_llff(scene_dir: str, views: int, wh: int) -> None:
+    """Write the analytic scene as an LLFF-format dataset
+    (`poses_bounds.npy` + `images_4/`), loadable by BOTH the reference's
+    `dataLoader/llff.py` and our `ngf_tpu/data/llff.py` — certifying the
+    NDC pipeline (pose shuffle, centering, near-scale, `ndc_rays_blender`)
+    end-to-end. Cameras sit on a forward-facing arc at z ~ +4 looking at
+    the origin (fern-style), the regime LLFF/NDC is built for. The test
+    split is the loaders' hardcoded hold-every-8.
+    """
+    import imageio.v2 as imageio
+
+    sys.path.insert(0, REPO)
+    from ngf_tpu.data.geometry import get_ray_directions_blender
+    from ngf_tpu.data.synthetic import _render_rays_gt
+
+    os.makedirs(os.path.join(scene_dir, "images_4"), exist_ok=True)
+    fov = 0.6911112070083618
+    focal = 0.5 * wh / np.tan(0.5 * fov)
+    dirs = get_ray_directions_blender(wh, wh, [focal, focal])
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    rows = []
+    for i in range(views):
+        az = (i / max(1, views - 1) - 0.5) * 1.0  # +-0.5 rad arc
+        eye = np.array([1.4 * np.sin(az), 0.35 * np.sin(2.1 * az), 4.0],
+                       np.float32)
+        back = eye / np.linalg.norm(eye)  # looking at the origin
+        right = np.cross(np.array([0.0, 1.0, 0.0], np.float32), back)
+        right /= np.linalg.norm(right)
+        up = np.cross(back, right)
+        c2w = np.stack([right, up, back, eye], axis=1)  # (3, 4) right-up-back
+
+        rd = dirs.reshape(-1, 3) @ c2w[:3, :3].T
+        ro = np.broadcast_to(eye, rd.shape)
+        rgb = _render_rays_gt(np.ascontiguousarray(ro, np.float32),
+                              rd.astype(np.float32)).reshape(wh, wh, 3)
+        imageio.imwrite(
+            os.path.join(scene_dir, "images_4", f"image{i:03d}.png"),
+            np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8),
+        )
+
+        # raw LLFF convention: columns (down, right, back, t) + hwf at the
+        # pretend-full resolution (4x the exported files; loaders divide by
+        # the --downsample 4 they are given)
+        raw = np.concatenate(
+            [np.stack([-up, right, back, eye], axis=1),
+             np.array([[4.0 * wh], [4.0 * wh], [4.0 * focal]], np.float32)],
+            axis=1,
+        )
+        rows.append(np.concatenate([raw.reshape(-1), [2.5, 5.5]]))
+    np.save(os.path.join(scene_dir, "poses_bounds.npy"),
+            np.stack(rows).astype(np.float64))
+    print(f"[export] wrote {views} LLFF views at {wh}x{wh} -> {scene_dir}")
+
+
 # ------------------------------------------------------------------ ref shims
 
 def _install_shims() -> None:
@@ -176,13 +231,14 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
     ref_main = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_main)
 
+    ds = 4.0 if a.dataset == "llff" else 800.0 / a.wh
     cmd = [
         "--expname", "ref",
         "--basedir", log_dir,
         "--datadir", scene_dir,
-        "--dataset_name", "blender",
-        "--downsample_train", str(800.0 / a.wh),
-        "--downsample_test", str(800.0 / a.wh),
+        "--dataset_name", a.dataset,
+        "--downsample_train", str(ds),
+        "--downsample_test", str(ds),
         "--model_name", "TriPlane",
         "--n_iters", str(a.iters),
         "--batch_size", str(a.batch),
@@ -219,14 +275,15 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
 
 def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    ds = 4.0 if a.dataset == "llff" else 800.0 / a.wh
     cmd = [
         sys.executable, os.path.join(REPO, "main.py"),
         "--expname", "ours",
         "--basedir", log_dir,
         "--datadir", scene_dir,
-        "--dataset_name", "blender",
-        "--downsample_train", str(800.0 / a.wh),
-        "--downsample_test", str(800.0 / a.wh),
+        "--dataset_name", a.dataset,
+        "--downsample_train", str(ds),
+        "--downsample_test", str(ds),
         "--subsystem", a.subsystem,
     ] + (
         (["--infoinv"] if a.infoinv else []) if a.subsystem == "infoinv"
@@ -280,6 +337,9 @@ def main() -> None:
     p.add_argument("--out", default="/tmp/ref_ab")
     p.add_argument("--phase", default="all",
                    choices=["all", "export", "ref", "ours", "report"])
+    p.add_argument("--dataset", default="blender", choices=["blender", "llff"],
+                   help="exported dataset format: blender (inward ring) or "
+                        "llff (forward-facing arc, NDC pipeline)")
     p.add_argument("--views", type=int, default=24)
     p.add_argument("--test-views", type=int, default=4)
     p.add_argument("--wh", type=int, default=64)
@@ -308,7 +368,10 @@ def main() -> None:
     logs = os.path.join(a.out, "log")
     os.makedirs(logs, exist_ok=True)
     if a.phase in ("all", "export"):
-        export_scene(scene, a.views, a.test_views, a.wh)
+        if a.dataset == "llff":
+            export_scene_llff(scene, a.views, a.wh)
+        else:
+            export_scene(scene, a.views, a.test_views, a.wh)
     if a.phase in ("all", "ref"):
         run_reference(scene, logs, a)
     if a.phase in ("all", "ours"):
