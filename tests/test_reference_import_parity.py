@@ -200,3 +200,53 @@ def test_gauge_forward_matches_actual_reference(gauge_active):
     np.testing.assert_allclose(
         np.asarray(out["depth_map"]), out_ref["depth_map"].numpy(), atol=2e-3
     )
+
+
+def test_import_reference_checkpoint_roundtrip(tmp_path):
+    """tools/import_reference_ckpt.py: a reference `field.save` checkpoint
+    converted to our .npz must reproduce the reference's forward render
+    (`FieldBase.py:94-116` save format -> channels-last params + meta)."""
+    from ngf_tpu.utils.checkpoint import load_checkpoint
+    from ngf_tpu.utils.grid import grid_n_samples
+    from tools.import_reference_ckpt import convert
+
+    RefTriPlane = _import_reference()
+    torch.manual_seed(5)
+    aabb = torch.tensor([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    ref = RefTriPlane(aabb, [48, 48, 48], "cpu", near_far=[2.0, 6.0],
+                      step_ratio=0.5)
+    # randomize decoders away from init so parity is non-trivial
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.01 * torch.randn_like(p))
+    th = str(tmp_path / "model.th")
+    ref.save(th)
+
+    out = str(tmp_path / "model.npz")
+    meta = convert(th, out, infoinv=True)
+    assert meta["subsystem"] == "infoinv"
+    params, meta2, vol, vaabb = load_checkpoint(out)
+    assert vol is None  # no alpha mask in a fresh field
+
+    cfg = TriPlaneConfig(**meta2["model_cfg"])
+    n_samples = grid_n_samples(meta2["aabb"], meta2["step_size"])
+    assert n_samples == int(ref.nSamples)
+    rcfg = RenderConfig(
+        aabb=tuple(map(tuple, meta2["aabb"])),
+        near=meta2["near_far"][0], far=meta2["near_far"][1],
+        n_samples=n_samples, step_size=meta2["step_size"], white_bg=True,
+    )
+
+    g = torch.Generator().manual_seed(3)
+    d = torch.randn(64, 3, generator=g) * 0.25 + torch.tensor([0.0, 0.0, 1.0])
+    d = torch.nn.functional.normalize(d, dim=-1)
+    rays_t = torch.cat([torch.tensor([[0.0, 0.0, -4.0]]).repeat(64, 1), d], 1)
+
+    with torch.no_grad():
+        out_ref = ref(rays_t, True, False, n_samples, True)
+    ours = jax.jit(
+        lambda p, r: render_rays(p, cfg, rcfg, r, None, is_train=False)
+    )(params, jnp.asarray(rays_t.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(ours["rgb_map"]), out_ref["rgb_map"].numpy(), atol=2e-4
+    )
