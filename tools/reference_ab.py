@@ -127,6 +127,103 @@ def export_scene_llff(scene_dir: str, views: int, wh: int) -> None:
     print(f"[export] wrote {views} LLFF views at {wh}x{wh} -> {scene_dir}")
 
 
+def export_scene_own(scene_dir: str, views: int, test_views: int,
+                     wh: int) -> None:
+    """Write the analytic scene in the instant-ngp-style ``own_data``
+    layout (`InfoInv/dataLoader/your_own_data.py:40-54`):
+    ``transforms_{split}.json`` with explicit w/h/cx/cy + both camera
+    angles, Blender-convention ``transform_matrix`` (both loaders apply
+    blender2opencv themselves). Exported at native resolution and run at
+    ``--downsample 1`` so the reference's cx/cy-not-downsampled latent bug
+    (our documented deviation) is out of the comparison's path.
+    """
+    import imageio.v2 as imageio
+
+    sys.path.insert(0, REPO)
+    from ngf_tpu.data.synthetic import SyntheticDataset
+
+    os.makedirs(scene_dir, exist_ok=True)
+    fov = 0.6911112070083618
+    for split, n in (("train", views), ("test", test_views)):
+        ds = SyntheticDataset(split=split, n_views=n, wh=(wh, wh), is_stack=True)
+        os.makedirs(os.path.join(scene_dir, split), exist_ok=True)
+        frames = []
+        for i in range(n):
+            img = np.clip(ds.all_rgbs[i] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            rel = f"./{split}/r_{i}"
+            imageio.imwrite(os.path.join(scene_dir, f"{rel}.png"), img)
+            frames.append(
+                {"file_path": rel, "transform_matrix": ds.poses[i].tolist()}
+            )
+        meta = {"w": wh, "h": wh, "cx": wh / 2.0, "cy": wh / 2.0,
+                "camera_angle_x": fov, "camera_angle_y": fov,
+                "frames": frames}
+        with open(os.path.join(scene_dir, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+    print(f"[export] wrote {views}+{test_views} own_data views at {wh}x{wh} "
+          f"-> {scene_dir}")
+
+
+def export_scene_nsvf(scene_dir: str, views: int, test_views: int, wh: int,
+                      fmt: str = "nsvf") -> None:
+    """Write the analytic scene in the NSVF on-disk layout
+    (`InfoInv/dataLoader/nsvf.py:65-113`): ``bbox.txt``, ``intrinsics.txt``,
+    ``pose/{0_,2_}*.txt`` 4x4 OpenCV-convention c2w, ``rgb/{0_,2_}*.png`` —
+    loadable by BOTH the reference's ``NSVF`` and our
+    ``ngf_tpu/data/nsvf.py``. ``fmt='tankstemple'`` writes the
+    Tanks&Temples variant instead (`tankstemple.py:114-123`): a full 3x3
+    matrix in ``intrinsics.txt`` at the nominal 1920x1080 frame and a
+    128x72 export (both loaders hardcode the nominal frame size; 1920/15 x
+    1080/15 keeps the downsample integral on both axes).
+
+    The loaders' OpenCV ray convention (``get_ray_directions`` + 4x4 c2w
+    from ``pose/``) is met by exporting ``pose_gl @ diag(1,-1,-1,1)`` of
+    the same Blender-convention orbit the other exporters use, so all
+    format A/Bs see the same geometry.
+    """
+    import imageio.v2 as imageio
+
+    sys.path.insert(0, REPO)
+    from ngf_tpu.data.blender import BLENDER2OPENCV
+    from ngf_tpu.data.synthetic import SyntheticDataset
+
+    if fmt == "tankstemple":
+        w, h, nominal = 128, 72, (1920.0, 1080.0)
+    else:
+        w, h, nominal = wh, wh, (800.0, 800.0)
+    os.makedirs(os.path.join(scene_dir, "pose"), exist_ok=True)
+    os.makedirs(os.path.join(scene_dir, "rgb"), exist_ok=True)
+
+    fov = 0.6911112070083618
+    focal = 0.5 * w / np.tan(0.5 * fov)  # what SyntheticDataset renders with
+    if fmt == "tankstemple":
+        s = nominal[0] / w  # == nominal[1] / h by construction
+        intr = np.array([[focal * s, 0.0, nominal[0] / 2],
+                         [0.0, focal * s, nominal[1] / 2],
+                         [0.0, 0.0, 1.0]])
+        np.savetxt(os.path.join(scene_dir, "intrinsics.txt"), intr)
+    else:
+        with open(os.path.join(scene_dir, "intrinsics.txt"), "w") as f:
+            # both loaders read only the first token; principal point is
+            # hardcoded at the nominal frame center (nsvf.py:66-67)
+            f.write(f"{focal * nominal[0] / w:.9f} "
+                    f"{nominal[0]/2} {nominal[1]/2} 0.\n0. 0. 0.\n0. 0. 1.\n")
+    with open(os.path.join(scene_dir, "bbox.txt"), "w") as f:
+        f.write("-1.5 -1.5 -1.5 1.5 1.5 1.5 0.01\n")
+
+    for split, prefix, n in (("train", "0", views), ("test", "2", test_views)):
+        ds = SyntheticDataset(split=split, n_views=n, wh=(w, h), is_stack=True)
+        for i in range(n):
+            img = np.clip(ds.all_rgbs[i] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            imageio.imwrite(
+                os.path.join(scene_dir, "rgb", f"{prefix}_{i:03d}.png"), img
+            )
+            np.savetxt(os.path.join(scene_dir, "pose", f"{prefix}_{i:03d}.txt"),
+                       ds.poses[i] @ BLENDER2OPENCV)
+    print(f"[export] wrote {views}+{test_views} {fmt} views at {w}x{h} "
+          f"-> {scene_dir}")
+
+
 # ------------------------------------------------------------------ ref shims
 
 def _install_shims() -> None:
@@ -219,6 +316,19 @@ def _install_shims() -> None:
     imageio.mimwrite = mimwrite
 
 
+def _downsample_for(a: argparse.Namespace) -> float:
+    """--downsample for each exported format: the loaders fix the nominal
+    full-resolution frame (blender/nsvf 800, llff 4x images_4 files,
+    tankstemple 1920x1080) and divide by this."""
+    if a.dataset == "llff":
+        return 4.0
+    if a.dataset == "tankstemple":
+        return 15.0  # 1920/128 == 1080/72, the exported frame
+    if a.dataset == "own_data":
+        return 1.0  # exported at native resolution with explicit w/h
+    return 800.0 / a.wh
+
+
 def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
     _install_shims()
     ref_dir = REF_DIRS[a.subsystem]
@@ -231,7 +341,7 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
     ref_main = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_main)
 
-    ds = 4.0 if a.dataset == "llff" else 800.0 / a.wh
+    ds = _downsample_for(a)
     cmd = [
         "--expname", "ref",
         "--basedir", log_dir,
@@ -275,7 +385,7 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
 
 def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
-    ds = 4.0 if a.dataset == "llff" else 800.0 / a.wh
+    ds = _downsample_for(a)
     cmd = [
         sys.executable, os.path.join(REPO, "main.py"),
         "--expname", "ours",
@@ -337,9 +447,13 @@ def main() -> None:
     p.add_argument("--out", default="/tmp/ref_ab")
     p.add_argument("--phase", default="all",
                    choices=["all", "export", "ref", "ours", "report"])
-    p.add_argument("--dataset", default="blender", choices=["blender", "llff"],
-                   help="exported dataset format: blender (inward ring) or "
-                        "llff (forward-facing arc, NDC pipeline)")
+    p.add_argument("--dataset", default="blender",
+                   choices=["blender", "llff", "nsvf", "tankstemple",
+                            "own_data"],
+                   help="exported dataset format: blender (inward ring), "
+                        "llff (forward-facing arc, NDC pipeline), nsvf / "
+                        "tankstemple (OpenCV-pose txt layouts), own_data "
+                        "(instant-ngp transforms.json)")
     p.add_argument("--views", type=int, default=24)
     p.add_argument("--test-views", type=int, default=4)
     p.add_argument("--wh", type=int, default=64)
@@ -370,6 +484,11 @@ def main() -> None:
     if a.phase in ("all", "export"):
         if a.dataset == "llff":
             export_scene_llff(scene, a.views, a.wh)
+        elif a.dataset in ("nsvf", "tankstemple"):
+            export_scene_nsvf(scene, a.views, a.test_views, a.wh,
+                              fmt=a.dataset)
+        elif a.dataset == "own_data":
+            export_scene_own(scene, a.views, a.test_views, a.wh)
         else:
             export_scene(scene, a.views, a.test_views, a.wh)
     if a.phase in ("all", "ref"):
