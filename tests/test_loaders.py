@@ -227,3 +227,66 @@ class TestBalancedFallback:
         item = ds.get_item(0)
         # every sampled pixel is foreground -> no transmittance-1 targets
         assert (item["transmittance"] == 0).all()
+
+
+class TestABExportFormats:
+    """The A/B harness export formats (tools/reference_ab.py) must
+    round-trip through our loaders with exact ray parity vs the synthetic
+    source — the same property verified against the REFERENCE loaders at
+    1 ulp when the harness landed (PARITY.md). Guards the exporters and
+    the nsvf/tankstemple/own_data loaders jointly."""
+
+    def _gt(self, wh, views):
+        from ngf_tpu.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(
+            split="train", n_views=views, wh=wh, is_stack=False
+        )
+
+    def test_nsvf_export_roundtrip(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.reference_ab import export_scene_nsvf
+
+        export_scene_nsvf(str(tmp_path), 3, 1, 24, fmt="nsvf")
+        ds = dataset_dict["nsvf"](
+            str(tmp_path), split="train", downsample=800.0 / 24, is_stack=False
+        )
+        gt = self._gt((24, 24), 3)
+        assert np.abs(ds.all_rays - gt.all_rays).max() < 1e-6
+        assert np.abs(ds.all_rgbs - gt.all_rgbs).max() <= 1.0 / 255 + 1e-6
+        # test split exists under the 2_ prefix
+        test = dataset_dict["nsvf"](
+            str(tmp_path), split="test", downsample=800.0 / 24
+        )
+        assert test.all_rgbs.shape[0] == 1
+
+    def test_tankstemple_export_roundtrip(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.reference_ab import export_scene_nsvf
+
+        export_scene_nsvf(str(tmp_path), 3, 1, 36, fmt="tankstemple")
+        ds = dataset_dict["tankstemple"](
+            str(tmp_path), split="train", downsample=30.0, is_stack=False
+        )
+        gt = self._gt((64, 36), 3)
+        assert ds.img_wh == (64, 36)
+        assert np.abs(ds.all_rays - gt.all_rays).max() < 1e-6
+        assert np.abs(ds.all_rgbs - gt.all_rgbs).max() <= 1.0 / 255 + 1e-6
+
+    def test_own_data_export_roundtrip(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.reference_ab import export_scene_own
+
+        export_scene_own(str(tmp_path), 3, 1, 24)
+        ds = dataset_dict["own_data"](
+            str(tmp_path), split="train", downsample=1.0, is_stack=False
+        )
+        gt = self._gt((24, 24), 3)
+        assert np.abs(ds.all_rays - gt.all_rays).max() < 1e-6
+        assert np.abs(ds.all_rgbs - gt.all_rgbs).max() <= 1.0 / 255 + 1e-6

@@ -164,6 +164,13 @@ def export_scene_own(scene_dir: str, views: int, test_views: int,
           f"-> {scene_dir}")
 
 
+def _tt_height(wh: int) -> int:
+    """TanksTemple export height: the loaders hardcode the nominal
+    1920x1080 frame, so the export must divide it integrally on BOTH axes
+    (h in {36, 72} -> 64x36 / 128x72). Picks the nearest not-larger tier."""
+    return 36 if wh <= 36 else 72
+
+
 def export_scene_nsvf(scene_dir: str, views: int, test_views: int, wh: int,
                       fmt: str = "nsvf") -> None:
     """Write the analytic scene in the NSVF on-disk layout
@@ -188,7 +195,8 @@ def export_scene_nsvf(scene_dir: str, views: int, test_views: int, wh: int,
     from ngf_tpu.data.synthetic import SyntheticDataset
 
     if fmt == "tankstemple":
-        w, h, nominal = 128, 72, (1920.0, 1080.0)
+        h = _tt_height(wh)
+        w, nominal = 16 * h // 9, (1920.0, 1080.0)
     else:
         w, h, nominal = wh, wh, (800.0, 800.0)
     os.makedirs(os.path.join(scene_dir, "pose"), exist_ok=True)
@@ -323,7 +331,7 @@ def _downsample_for(a: argparse.Namespace) -> float:
     if a.dataset == "llff":
         return 4.0
     if a.dataset == "tankstemple":
-        return 15.0  # 1920/128 == 1080/72, the exported frame
+        return 1080.0 / _tt_height(a.wh)  # integral on both axes
     if a.dataset == "own_data":
         return 1.0  # exported at native resolution with explicit w/h
     return 800.0 / a.wh
