@@ -181,7 +181,8 @@ def bench_uv() -> dict:
         random_sample_size=24, seed=0,
     )
     cfg = NeuTexConfig(
-        primitive_type="square", sample_num=64, points_per_primitive=2500
+        primitive_type="square", sample_num=64, points_per_primitive=2500,
+        compute_dtype=os.environ.get("NGF_BENCH_DTYPE", "float32"),
     )
     trainer = UVTrainer(cfg, ds, seed=0)
     log(f"[{_t.time()-t0:5.1f}s] uv trainer built")

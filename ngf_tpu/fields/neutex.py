@@ -72,10 +72,19 @@ class NeuTexConfig:
     inverse_mid: int = 64
     inverse_hidden: int = 512
     inverse_layers: int = 2
+    # 'bfloat16' runs every MLP stack's matmuls on the MXU in bf16 (f32
+    # masters and f32 accumulation via apply_linear's preferred_element_type;
+    # PE inputs, density softplus, gauge tanh/normalize, compositing and
+    # losses stay float32). 'float32' is the reference-parity default.
+    compute_dtype: str = "float32"
 
     @property
     def uv_dim(self) -> int:
         return 2 if self.primitive_type == "square" else 3
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 # ----------------------------------------------------------------- MLP stacks
@@ -91,10 +100,19 @@ def _init_stack(key, dims: list[int], gains: list[float]) -> Params:
     }
 
 
-def _apply_stack(p: Params, x: jnp.ndarray, act) -> jnp.ndarray:
+def _cast_tree(tree: Params, dt) -> Params:
+    if dt == jnp.float32:
+        return tree
+    return jax.tree.map(lambda a: a.astype(dt), tree)
+
+
+def _apply_stack(p: Params, x: jnp.ndarray, act, dt=jnp.float32) -> jnp.ndarray:
+    # apply_linear matches the weight dtype, so casting the layer params is
+    # the whole mixed-precision story; the stack output returns to f32.
+    p = _cast_tree(p, dt)
     for lp in p["layers"][:-1]:
         x = act(apply_linear(lp, x))
-    return apply_linear(p["layers"][-1], x)
+    return apply_linear(p["layers"][-1], x).astype(jnp.float32)
 
 
 # ------------------------------------------------------------- gauge networks
@@ -111,15 +129,15 @@ def init_gauge_network(key, cfg: NeuTexConfig, input_dim: int, output_dim: int) 
     return _init_stack(key, dims, [1.0] * (len(dims) - 1))
 
 
-def apply_gauge_network(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def apply_gauge_network(p: Params, x: jnp.ndarray, dt=jnp.float32) -> jnp.ndarray:
     x = jnp.concatenate([x, positional_encoding(x, 10)], axis=-1)
-    return _apply_stack(p, x, jax.nn.relu)
+    return _apply_stack(p, x, jax.nn.relu, dt)
 
 
 def apply_gauge_transform(p: Params, cfg: NeuTexConfig, points: jnp.ndarray) -> jnp.ndarray:
     """3D -> UV: tanh for square, L2-normalize for sphere
     (`gauge_fields.py:60-74`)."""
-    out = apply_gauge_network(p, points)
+    out = apply_gauge_network(p, points, cfg.dtype)
     if cfg.uv_dim == 2:
         return jnp.tanh(out)
     return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
@@ -135,8 +153,8 @@ def init_inverse_network(key, cfg: NeuTexConfig) -> Params:
     return _init_stack(key, dims, [1.0] * (len(dims) - 1))
 
 
-def apply_inverse_network(p: Params, uv: jnp.ndarray) -> jnp.ndarray:
-    return _apply_stack(p, uv, jax.nn.relu)
+def apply_inverse_network(p: Params, uv: jnp.ndarray, dt=jnp.float32) -> jnp.ndarray:
+    return _apply_stack(p, uv, jax.nn.relu, dt)
 
 
 def template_random_points(key, cfg: NeuTexConfig, n: int) -> jnp.ndarray:
@@ -172,7 +190,7 @@ def init_geometry_mlp(key, cfg: NeuTexConfig) -> Params:
 
 def apply_geometry_mlp(p: Params, cfg: NeuTexConfig, pts: jnp.ndarray) -> dict:
     x = jnp.concatenate([pts, positional_encoding(pts, cfg.geo_freqs)], axis=-1)
-    raw = _apply_stack(p, x, jax.nn.relu)[..., 0]
+    raw = _apply_stack(p, x, jax.nn.relu, cfg.dtype)[..., 0]
     return {"raw_density": raw, "density": jax.nn.softplus(raw)}
 
 
@@ -198,8 +216,9 @@ def _leaky(x):
 
 def _apply_block1(p: Params, cfg: NeuTexConfig, uv: jnp.ndarray) -> jnp.ndarray:
     x = jnp.concatenate([uv, positional_encoding(uv, cfg.tex_freqs)], axis=-1)
-    # all block1 layers are activation-terminated (`decoder.py:20-26`)
-    for lp in p["layers"]:
+    # all block1 layers are activation-terminated (`decoder.py:20-26`);
+    # output stays in compute dtype — block2/color1 consume it directly
+    for lp in _cast_tree(p, cfg.dtype)["layers"]:
         x = _leaky(apply_linear(lp, x))
     return x
 
@@ -219,13 +238,13 @@ def apply_texture_mlp(
     per ``edit_mode`` (modes 0-4, `decoder.py:101-121`).
     """
     h = _apply_block1(p["block1"], cfg, uv)
-    c1 = apply_linear(p["color1"], h)
+    c1 = apply_linear(_cast_tree(p["color1"], cfg.dtype), h).astype(jnp.float32)
     color1 = jax.nn.sigmoid(c1) if cfg.clamp_texture else jax.nn.softplus(c1)
 
     view_dir = jnp.broadcast_to(view_dir, h.shape[:-1] + (3,))
     vp = positional_encoding(view_dir, cfg.view_freqs)
-    x = jnp.concatenate([h, view_dir, vp], axis=-1)
-    c2 = _apply_stack(p["block2"], x, _leaky)
+    x = jnp.concatenate([h, view_dir.astype(h.dtype), vp.astype(h.dtype)], axis=-1)
+    c2 = _apply_stack(p["block2"], x, _leaky, cfg.dtype)
     color2 = jax.nn.sigmoid(c2) if cfg.clamp_texture else c2
     original = color1 + color2
 
@@ -385,7 +404,9 @@ def neutex_forward(
 
     # inverse gauge on random template points (`model.py:35-36`)
     tmpl = template_random_points(k_tmpl, cfg, cfg.points_per_primitive)
-    points_3d = apply_inverse_network(params["inverse_network"], tmpl)  # (P, 3)
+    points_3d = apply_inverse_network(
+        params["inverse_network"], tmpl, cfg.dtype
+    )  # (P, 3)
 
     uv = apply_gauge_transform(params["gauge_network"], cfg, ray_pos)
     radiance = apply_texture_mlp(
@@ -407,7 +428,9 @@ def neutex_forward(
         # (1, 3, P) like the reference's permute (`model.py:36`)
         "points": points_3d.T[None],
         "points_original": ray_pos,
-        "points_inverse": apply_inverse_network(params["inverse_network"], uv),
+        "points_inverse": apply_inverse_network(
+            params["inverse_network"], uv, cfg.dtype
+        ),
         "points_inverse_weights": blend_weight,
         "uv": uv,
     }

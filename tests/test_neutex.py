@@ -280,3 +280,46 @@ class TestUVTraining:
             after, np.asarray(t1.params["net_texture"]["color1"]["w"])
         )
         assert not np.array_equal(before, after)
+
+
+class TestBfloat16:
+    """compute_dtype='bfloat16' runs the MLP matmuls in bf16 (f32 masters,
+    f32 accumulation); densities, compositing and losses stay f32. The
+    forward must track the f32 path within bf16 resolution and a fused
+    train block must step."""
+
+    def test_forward_tracks_f32(self):
+        import dataclasses
+
+        cfg32 = NeuTexConfig(
+            primitive_type="square", sample_num=16, points_per_primitive=64
+        )
+        cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+        params = init_neutex(jax.random.PRNGKey(3), cfg32)
+        key = jax.random.PRNGKey(7)
+        campos = jnp.asarray([[0.0, 0.0, 2.5]])
+        rd = jnp.asarray([[[0.01, -0.02, -1.0], [0.05, 0.02, -1.0]]])
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        bg = jnp.zeros((1, 3))
+        out32 = neutex_forward(params, cfg32, key, campos, rd, bg)
+        out16 = neutex_forward(params, cfg16, key, campos, rd, bg)
+        for name in ("color", "transmittance"):
+            a, b = np.asarray(out32[name]), np.asarray(out16[name])
+            assert a.dtype == b.dtype == np.float32
+            assert np.abs(a - b).max() < 0.05, (name, np.abs(a - b).max())
+
+    def test_train_block_steps(self):
+        ds = SyntheticDtuDataset(
+            n_views=2, wh=(24, 24), random_sample="balanced",
+            random_sample_size=6, seed=0,
+        )
+        cfg = NeuTexConfig(
+            primitive_type="square", sample_num=8, points_per_primitive=32,
+            compute_dtype="bfloat16",
+        )
+        tr = UVTrainer(cfg, ds, lr=1e-4, niter=100, seed=0)
+        losses = tr.train_block([ds.sample() for _ in range(3)])
+        assert np.isfinite(losses["total"]).all()
+        # masters stay f32
+        leaf = jax.tree.leaves(tr.params)[0]
+        assert leaf.dtype == jnp.float32

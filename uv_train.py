@@ -58,6 +58,11 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_call", type=int, default=20,
                    help="optimizer steps fused into one device call "
                         "(TPU dispatch amortization; no reference analog)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="MLP-stack matmul dtype (f32 masters/accumulation; "
+                        "compositing and losses stay float32). float32 is "
+                        "the reference-parity default")
     p.add_argument("--lr_decay_iters", type=int, default=50)
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--test_freq", type=int, default=10000)
@@ -118,6 +123,7 @@ def main(argv=None):
         primitive_type=opt.primitive_type,
         sample_num=opt.sample_num,
         points_per_primitive=opt.points_per_primitive,
+        compute_dtype=opt.compute_dtype,
     )
     trainer = UVTrainer(
         cfg,
