@@ -182,7 +182,9 @@ def bench_uv() -> dict:
     )
     cfg = NeuTexConfig(
         primitive_type="square", sample_num=64, points_per_primitive=2500,
-        compute_dtype=os.environ.get("NGF_BENCH_DTYPE", "float32"),
+        # bf16 default: quality-certified vs f32 on-chip (tools/uv_cert.py,
+        # NOTES.md 2026-08-18 — IoU 0.986 both, loss/color at-or-better)
+        compute_dtype=os.environ.get("NGF_BENCH_DTYPE", "bfloat16"),
     )
     trainer = UVTrainer(cfg, ds, seed=0)
     log(f"[{_t.time()-t0:5.1f}s] uv trainer built")
