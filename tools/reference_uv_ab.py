@@ -228,7 +228,7 @@ def run_reference(scene_dir: str, ckpt_dir: str, iters: int) -> None:
         for data in loader:
             model.set_input(data)
             model.optimize_parameters()
-            if steps % 500 == 0:
+            if steps % max(1, min(500, iters // 20)) == 0:
                 cur = model.get_current_losses()
                 losses = {k: float(v) for k, v in cur.items()}
                 print(f"[ref] step {steps}: " + ", ".join(
