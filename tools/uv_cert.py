@@ -31,6 +31,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--primitive", default="square",
+                   choices=["square", "sphere"])
     p.add_argument("--steps", type=int, default=12000)
     p.add_argument("--views", type=int, default=24)
     p.add_argument("--wh", type=int, default=64)
@@ -47,8 +49,8 @@ def main() -> None:
         random_sample_size=24, seed=a.seed,
     )
     cfg = NeuTexConfig(
-        primitive_type="square", sample_num=64, points_per_primitive=2500,
-        compute_dtype=a.dtype,
+        primitive_type=a.primitive, sample_num=64,
+        points_per_primitive=2500, compute_dtype=a.dtype,
     )
     trainer = UVTrainer(cfg, ds, lr=1e-4, niter=a.steps, seed=a.seed)
 
@@ -83,7 +85,8 @@ def main() -> None:
         ious.append(inter / max(union, 1.0))
 
     print(json.dumps({
-        "dtype": a.dtype, "steps": a.steps, "train_s": round(train_s, 1),
+        "dtype": a.dtype, "primitive": a.primitive, "steps": a.steps,
+        "train_s": round(train_s, 1),
         "final_losses": {k: round(v, 5) for k, v in last.items()},
         "novel_color_psnr_db": round(float(np.mean(psnrs)), 2),
         "novel_silhouette_iou": round(float(np.mean(ious)), 4),
