@@ -377,13 +377,19 @@ class TriPlaneTrainer:
             return (params, opt_state), (mse, stat)
 
         if has_alpha:
-            vol_c, vaabb_c = self.alpha.volume, self.alpha.aabb
-            table_c = self.alpha.table
+            # The alpha mask is a RUNTIME ARGUMENT, not a closure constant:
+            # closed-over arrays are baked into the lowered program, so every
+            # mask event would emit a byte-different HLO module and pay a full
+            # remote-XLA compile (minutes). As arguments, the program depends
+            # only on shapes — later events with an unchanged sample cap are
+            # byte-identical and hit the service-side compile cache (~30 s).
+            # Pinned by tests/test_compile_cache.py.
 
-            def block(params, opt_state, rays, rgbs, keys, iterations, l1_w):
+            def block(params, opt_state, rays, rgbs, keys, iterations, l1_w,
+                      vol, vaabb, vtable):
                 def body(carry, xs):
                     r, g, k, it = xs
-                    return one_step(carry, (r, g, k, it, l1_w, vol_c, vaabb_c, table_c))
+                    return one_step(carry, (r, g, k, it, l1_w, vol, vaabb, vtable))
 
                 (params, opt_state), (mses, stats) = jax.lax.scan(
                     body, (params, opt_state), (rays, rgbs, keys, iterations)
@@ -401,6 +407,7 @@ class TriPlaneTrainer:
                 )
                 return params, opt_state, mses, stats
 
+        self._step_has_alpha = has_alpha
         if self.mesh is not None:
             repl = replicated_sharding(self.mesh)
             data = data_sharding(self.mesh)
@@ -408,9 +415,12 @@ class TriPlaneTrainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             block_sharding = NamedSharding(self.mesh, P(None, "data"))
+            in_sh = [repl, repl, block_sharding, block_sharding, repl, repl, repl]
+            if has_alpha:
+                in_sh += [repl, repl, repl]
             self._step = jax.jit(
                 block,
-                in_shardings=(repl, repl, block_sharding, block_sharding, repl, repl, repl),
+                in_shardings=tuple(in_sh),
                 out_shardings=(repl, repl, repl, repl),
                 donate_argnums=(0, 1),
             )
@@ -424,11 +434,25 @@ class TriPlaneTrainer:
         model_cfg = self.model_cfg
         rcfg = self._render_cfg()
         alpha = self.alpha
-        vols = (
-            (alpha.volume, alpha.aabb, alpha.table)
-            if alpha is not None
-            else (None, None, None)
-        )
+
+        if alpha is not None:
+            # Alpha as runtime arguments, same rationale as _build_step.
+            def block(params, rays, rgbs, keys, iterations, vol, vaabb, vtable):
+                def body(_, xs):
+                    r, g, k, it = xs
+                    out = render_rays(
+                        params, model_cfg, rcfg, r, k,
+                        is_train=True, iteration=it,
+                        alpha_volume=vol, alpha_aabb=vaabb, alpha_table=vtable,
+                    )
+                    return None, jnp.mean((out["rgb_map"] - g) ** 2)
+
+                _, mses = jax.lax.scan(body, None, (rays, rgbs, keys, iterations))
+                return mses
+
+            fn = jax.jit(block)
+            vols = (alpha.volume, alpha.aabb, alpha.table)
+            return lambda p, rays, rgbs, keys, its: fn(p, rays, rgbs, keys, its, *vols)
 
         def block(params, rays, rgbs, keys, iterations):
             def body(_, xs):
@@ -436,7 +460,6 @@ class TriPlaneTrainer:
                 out = render_rays(
                     params, model_cfg, rcfg, r, k,
                     is_train=True, iteration=it,
-                    alpha_volume=vols[0], alpha_aabb=vols[1], alpha_table=vols[2],
                 )
                 return None, jnp.mean((out["rgb_map"] - g) ** 2)
 
@@ -662,10 +685,15 @@ class TriPlaneTrainer:
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, size)
         iterations = jnp.arange(self.iteration, self.iteration + size, dtype=jnp.int32)
+        extra = (
+            (self.alpha.volume, self.alpha.aabb, self.alpha.table)
+            if self._step_has_alpha
+            else ()
+        )
         self.params, self.opt_state, mses, stats = self._step(
             self.params, self.opt_state,
             jnp.asarray(rays), jnp.asarray(rgbs),
-            keys, iterations, jnp.float32(self.l1_weight),
+            keys, iterations, jnp.float32(self.l1_weight), *extra,
         )
         self.iteration += size
         self._rgb_stat = max(self._rgb_stat, int(np.max(np.asarray(stats))))

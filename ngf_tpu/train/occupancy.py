@@ -85,13 +85,13 @@ def update_alpha_mask(
     aabb_np = np.asarray(aabb, dtype=np.float32)
     pts = dense_grid_points(aabb_np, grid_size).reshape(-1, 3)
 
-    alpha_fn = jax.jit(
-        partial(
-            compute_alpha_grid_chunk,
-            model_cfg=model_cfg,
-            step_size=step_size,
-        )
-    )
+    # step_size is a traced scalar (it only scales sigma -> alpha), so the
+    # lowered program is byte-identical across events even after a shrink
+    # changes the marching step — the remote-XLA service compile cache then
+    # turns later-event rebuilds into ~30 s cache hits instead of minute-scale
+    # fresh compiles (tests/test_compile_cache.py).
+    alpha_fn = jax.jit(partial(compute_alpha_grid_chunk, model_cfg=model_cfg))
+    step_j = jnp.float32(step_size)
     aabb_j = jnp.asarray(aabb_np)
     prev_vol = prev.volume if prev is not None else None
     prev_aabb = prev.aabb if prev is not None else None
@@ -103,11 +103,11 @@ def update_alpha_mask(
     for i in range(0, pts.shape[0], chunk):
         xyz = jnp.asarray(pts[i : i + chunk])
         if prev is not None:
-            a = alpha_fn(params, xyz=xyz, aabb=aabb_j,
+            a = alpha_fn(params, xyz=xyz, aabb=aabb_j, step_size=step_j,
                          alpha_volume=prev_vol, alpha_aabb=prev_aabb,
                          alpha_table=prev_table)
         else:
-            a = alpha_fn(params, xyz=xyz, aabb=aabb_j)
+            a = alpha_fn(params, xyz=xyz, aabb=aabb_j, step_size=step_j)
         out.append(np.asarray(a))
     alpha = np.concatenate(out).reshape(grid_size)  # (gx, gy, gz)
 
@@ -176,13 +176,18 @@ def occupied_samples_per_ray(
     """
     aabb_j = jnp.asarray(np.asarray(aabb, np.float32))
 
+    # The occupancy volume, its aabb and the marching step are traced
+    # arguments (not closure constants) so every event's count program is
+    # byte-identical — the remote-XLA compile cache makes re-measures after
+    # the first event ~free (tests/test_compile_cache.py).
     @jax.jit
-    def count_fn(rays):
+    def count_fn(rays, vol, vaabb, aabb_t, step):
         pts, _, inb = stratified_sample(
-            None, rays[:, :3], rays[:, 3:6], aabb_j, near, far,
-            n_samples, step_size, False,
+            None, rays[:, :3], rays[:, 3:6], aabb_t, near, far,
+            n_samples, step, False,
         )
-        occ = (grid.sample(pts) > 0) & inb
+        a = grid_sample_3d(vol[..., None], normalize_coord(pts, vaabb))[..., 0]
+        occ = (a > 0) & inb
         return occ.sum(axis=-1)
 
     rays = all_rays
@@ -195,7 +200,8 @@ def occupied_samples_per_ray(
         pad = chunk - part.shape[0]
         if pad:
             part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
-        c = np.asarray(count_fn(jnp.asarray(part)))
+        c = np.asarray(count_fn(jnp.asarray(part), grid.volume, grid.aabb,
+                                aabb_j, jnp.float32(step_size)))
         counts.append(c[: chunk - pad] if pad else c)
     return np.concatenate(counts)
 
@@ -226,17 +232,23 @@ def filter_rays_alpha(
     and test the alpha grid (`FieldBase.py:214-216`)."""
     aabb_j = jnp.asarray(np.asarray(aabb, np.float32))
 
+    # Volume/aabb/step as traced args — same compile-cache rationale as
+    # ``occupied_samples_per_ray``.
     @jax.jit
-    def mask_fn(rays):
+    def mask_fn(rays, vol, vaabb, aabb_t, step):
         pts, _, _ = stratified_sample(
-            None, rays[:, :3], rays[:, 3:6], aabb_j, near, far,
-            n_samples, step_size, False,
+            None, rays[:, :3], rays[:, 3:6], aabb_t, near, far,
+            n_samples, step, False,
         )
-        return (grid.sample(pts) > 0).any(axis=-1)
+        a = grid_sample_3d(vol[..., None], normalize_coord(pts, vaabb))[..., 0]
+        return (a > 0).any(axis=-1)
 
     keep = []
     for i in range(0, all_rays.shape[0], chunk):
-        keep.append(np.asarray(mask_fn(jnp.asarray(all_rays[i : i + chunk]))))
+        keep.append(np.asarray(mask_fn(
+            jnp.asarray(all_rays[i : i + chunk]), grid.volume, grid.aabb,
+            aabb_j, jnp.float32(step_size),
+        )))
     return np.concatenate(keep)
 
 

@@ -1,0 +1,150 @@
+"""Cross-event program identity: mask events must not force fresh compiles.
+
+On the remote-XLA TPU backend a fresh train-step compile costs minutes while
+a byte-identical program hits the service-side compile cache in ~30 s
+(CLAUDE.md "Environment quirks"). The trainer therefore passes everything a
+mask event changes — the occupancy volume, its block table, its aabb — as
+RUNTIME ARGUMENTS of the compiled stage block instead of closure constants,
+so two events with the same static render config lower to byte-identical
+HLO. These tests pin that property on CPU by comparing lowered module text
+(constants baked into a program appear in its text, so equality proves
+content-independence and cache-hit eligibility).
+
+Reference events being accelerated: `InfoInv/main.py:320-332`,
+`TriPlane/main.py:329-343`.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ngf_tpu.config import TrainArgs
+from ngf_tpu.data import make_synthetic_dataset
+from ngf_tpu.train.loop import TriPlaneTrainer
+
+
+def tiny_args(**kw) -> TrainArgs:
+    base = dict(
+        subsystem="infoinv",
+        dataset_name="synthetic",
+        batch_size=512,
+        n_iters=240,
+        nSamples=96,
+        vis_every=0,
+        N_vis=0,
+        save_every=0,
+        upsamp_list=[],
+        update_AlphaMask_list=[],
+        seed=0,
+        plane_res=64,
+        gauge_res=64,
+        alpha_grid_res=64,
+    )
+    base.update(kw)
+    return TrainArgs(**base)
+
+
+@pytest.fixture(scope="module")
+def datasets():
+    train = make_synthetic_dataset("train", n_views=6, wh=(48, 48))
+    test = make_synthetic_dataset("test", n_views=2, wh=(48, 48))
+    return train, test
+
+
+def _lower_step_text(trainer, size: int = 4) -> str:
+    args = trainer.args
+    rays = jax.ShapeDtypeStruct((size, args.batch_size, 6), jnp.float32)
+    rgbs = jax.ShapeDtypeStruct((size, args.batch_size, 3), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), size)
+    its = jnp.zeros((size,), jnp.int32)
+    l1 = jnp.float32(trainer.l1_weight)
+    extra = ()
+    if trainer._step_has_alpha:
+        a = trainer.alpha
+        extra = (a.volume, a.aabb, a.table)
+    return trainer._step.lower(
+        trainer.params, trainer.opt_state, rays, rgbs, keys, its, l1, *extra
+    ).as_text()
+
+
+class TestStageProgramIdentity:
+    def test_mask_events_lower_to_identical_programs(self, datasets):
+        """Two mask events with the same static config (fixed masked cap,
+        dense shading, no shrink) must produce byte-identical stage programs
+        even though the occupancy volume/table contents changed."""
+        train_ds, test_ds = datasets
+        trainer = TriPlaneTrainer(
+            tiny_args(sample_cap=-1, open_sample_cap=64, masked_sample_cap=64),
+            train_ds, test_ds, None,
+        )
+        for _ in range(2):
+            trainer.train_block(8)
+
+        trainer._event_update_alpha_mask(first=True)
+        assert trainer._step_has_alpha
+        vol1 = np.asarray(trainer.alpha.volume).copy()
+        txt1 = _lower_step_text(trainer)
+
+        for _ in range(4):
+            trainer.train_block(8)
+        trainer._event_update_alpha_mask(first=False)
+        vol2 = np.asarray(trainer.alpha.volume)
+        txt2 = _lower_step_text(trainer)
+
+        # The event actually rebuilt the occupancy (the monotone-shrinking
+        # rebuild may or may not flip voxels on a converging toy run, but the
+        # arrays are distinct buffers either way) — and the program is
+        # byte-identical regardless of the volume contents.
+        assert vol1.shape == vol2.shape
+        assert txt1 == txt2
+
+    def test_stage_program_has_no_baked_occupancy(self, datasets):
+        """The lowered stage program must not embed the occupancy volume or
+        its 8-copy block table as constants: a 64^3 grid baked into the text
+        would add megabytes. Program text staying small is the cheap proxy."""
+        train_ds, test_ds = datasets
+        trainer = TriPlaneTrainer(
+            tiny_args(sample_cap=-1, open_sample_cap=64, masked_sample_cap=64),
+            train_ds, test_ds, None,
+        )
+        trainer.train_block(8)
+        trainer._event_update_alpha_mask(first=True)
+        txt = _lower_step_text(trainer)
+        table_bytes = int(np.prod(trainer.alpha.table.shape)) * 2  # bf16
+        assert len(txt.encode()) < table_bytes, (
+            f"stage HLO is {len(txt)} chars — larger than the occupancy "
+            f"block table itself ({table_bytes} B); a mask array is likely "
+            "baked in as a constant"
+        )
+
+    def test_occupancy_count_is_content_independent(self, datasets):
+        """`occupied_samples_per_ray` runs at every event and upsample; its
+        program must depend only on shapes. Two grids of identical shape but
+        different contents must produce counts through the same traced path
+        (exercised by calling with both and checking the math, since the jit
+        wrapper is function-local)."""
+        from ngf_tpu.train.occupancy import AlphaGrid, occupied_samples_per_ray
+
+        train_ds, _ = datasets
+        rng = np.random.default_rng(0)
+        aabb = np.asarray(train_ds.scene_bbox, np.float32)
+        rays = np.asarray(train_ds.all_rays[:2048], np.float32)
+        near, far = (float(v) for v in train_ds.near_far)
+
+        full = AlphaGrid(
+            volume=jnp.ones((16, 16, 16), jnp.float32), aabb=jnp.asarray(aabb)
+        )
+        empty = AlphaGrid(
+            volume=jnp.zeros((16, 16, 16), jnp.float32), aabb=jnp.asarray(aabb)
+        )
+        c_full = occupied_samples_per_ray(
+            rays, full, aabb, near, far, 0.05, 96, chunk=1024
+        )
+        c_empty = occupied_samples_per_ray(
+            rays, empty, aabb, near, far, 0.05, 96, chunk=1024
+        )
+        assert c_full.shape == (2048,) and c_empty.shape == (2048,)
+        assert c_empty.sum() == 0
+        assert c_full.max() > 0
