@@ -170,6 +170,12 @@ class TrainArgs:
     microbatch: int = 1  # gradient accumulation chunks per step (memory knob)
     steps_per_call: int = 64  # train steps fused into one device call (scan)
     alpha_grid_res: int = 256  # occupancy grid resolution (ref: main.py:324)
+    # prewarm_events=1: compile the mask-event machinery and the predicted
+    # masked-stage train step in a background thread DURING the open stage,
+    # so the first event's multi-minute remote-XLA compiles are already in
+    # the service cache when the event fires (train/loop.py:_prewarm_worker).
+    # Best-effort; 0 disables.
+    prewarm_events: int = 1
     filter_rays: int = 1  # bbox pre-filter of training rays (ref: main.py:252)
     save_every: int = 10000
     eval_chunk: int = 4096

@@ -270,14 +270,22 @@ class TriPlaneTrainer:
         sample-sharded renderer (`parallel/sample_parallel.py`)."""
         return self.mesh is not None and "sample" in self.mesh.axis_names
 
-    def _build_step(self):
-        """(Re)compile the scan-blocked train step for the current stage."""
+    def _build_step(self, rcfg=None, has_alpha=None, install=True):
+        """(Re)compile the scan-blocked train step for the current stage.
+
+        With ``install=False`` the jitted block is returned without touching
+        trainer state — used by the event-program prewarm to construct (and
+        AOT-compile) the PREDICTED post-event stage program; byte-identity
+        with the later event-time build is pinned by
+        tests/test_compile_cache.py."""
         import dataclasses as _dc
 
         model_cfg = self.model_cfg
-        rcfg = self._render_cfg()
+        if rcfg is None:
+            rcfg = self._render_cfg()
         optimizer = self.optimizer
-        has_alpha = self.alpha is not None
+        if has_alpha is None:
+            has_alpha = self.alpha is not None
         sp_mesh = self.mesh if self._sample_parallel else None
         if sp_mesh is not None:
             # Dense sample-parallel path: no compaction/occupancy (per-chip
@@ -407,7 +415,6 @@ class TriPlaneTrainer:
                 )
                 return params, opt_state, mses, stats
 
-        self._step_has_alpha = has_alpha
         if self.mesh is not None:
             repl = replicated_sharding(self.mesh)
             data = data_sharding(self.mesh)
@@ -418,14 +425,124 @@ class TriPlaneTrainer:
             in_sh = [repl, repl, block_sharding, block_sharding, repl, repl, repl]
             if has_alpha:
                 in_sh += [repl, repl, repl]
-            self._step = jax.jit(
+            fn = jax.jit(
                 block,
                 in_shardings=tuple(in_sh),
                 out_shardings=(repl, repl, repl, repl),
                 donate_argnums=(0, 1),
             )
         else:
-            self._step = jax.jit(block, donate_argnums=(0, 1))
+            fn = jax.jit(block, donate_argnums=(0, 1))
+        if install:
+            self._step_has_alpha = has_alpha
+            self._step = fn
+        return fn
+
+    # --------------------------------------------------------- event prewarm
+
+    def _predict_masked_stage_rcfg(self):
+        """Predicted render config of the first masked stage, or None when it
+        cannot be known before the event (auto caps measured at event time,
+        or a TriPlane shrink that changes aabb/step_size)."""
+        import dataclasses as _dc
+
+        args = self.args
+        if args.subsystem == "triplane":
+            return None  # first mask event shrinks -> aabb/step change
+        if args.sample_cap != -1:
+            cap = args.sample_cap
+        elif args.masked_sample_cap > 0:
+            cap = args.masked_sample_cap
+        else:
+            return None  # auto capacity: measured at the event
+        if args.rgb_cap == -1:
+            rgb = max(32, cap // 4)
+        elif args.rgb_cap >= 0:
+            rgb = args.rgb_cap
+        else:
+            return None  # rgb_cap=-2: measured at the event
+        return _dc.replace(self._render_cfg(sample_cap=cap), rgb_cap=rgb)
+
+    def _start_event_prewarm(self):
+        """Kick off the background compile of everything the first mask
+        event will need, while the open stage trains. On the remote-XLA
+        backend a fresh program compiles in minutes but a byte-identical one
+        hits the service cache in ~30 s — the worker's only job is seeding
+        that cache (all results are discarded). Best-effort and state-free:
+        any failure just means the event compiles cold, as before."""
+        args = self.args
+        if (
+            not getattr(args, "prewarm_events", 0)
+            or self.alpha is not None
+            or not (args.update_AlphaMask_list or [])
+            or self._sample_parallel
+        ):
+            return
+        import threading
+
+        # Snapshot device buffers NOW: the train step donates params/opt_state,
+        # so the worker must hold its own copies (shapes are all that matter).
+        params_snap = jax.tree.map(lambda x: x.copy(), self.params)
+        opt_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.opt_state
+        )
+        self._prewarm_thread = threading.Thread(
+            target=self._prewarm_worker,
+            args=(params_snap, opt_shapes, self.all_rays),
+            daemon=True,
+            name="ngf-event-prewarm",
+        )
+        self._prewarm_thread.start()
+
+    def _prewarm_worker(self, params, opt_shapes, all_rays):
+        try:
+            args = self.args
+            near = float(self.train_dataset.near_far[0])
+            far = float(self.train_dataset.near_far[1])
+            r = args.alpha_grid_res
+            # Event machinery: the no-prev grid build (first event), the
+            # with-prev build (later events), the capacity count and the ray
+            # filter. aabb/step_size are traced arguments in all of them, so
+            # these programs stay valid even for TriPlane's post-shrink
+            # geometry.
+            grid, _ = update_alpha_mask(
+                params, self.model_cfg, self.aabb, self.step_size,
+                grid_size=(r, r, r), alpha_thres=args.alpha_mask_thre, prev=None,
+            )
+            grid, _ = update_alpha_mask(
+                params, self.model_cfg, self.aabb, self.step_size,
+                grid_size=(r, r, r), alpha_thres=args.alpha_mask_thre, prev=grid,
+            )
+            if args.sample_cap == -1:
+                occupied_samples_per_ray(
+                    all_rays, grid, self.aabb, near, far,
+                    self.step_size, self.n_samples,
+                )
+            filter_rays_alpha(
+                all_rays, grid, self.aabb, near, far, self.step_size
+            )
+            rcfg = self._predict_masked_stage_rcfg()
+            if rcfg is None:
+                return
+            # AOT-compile the predicted masked-stage step from shapes alone.
+            fn = self._build_step(rcfg=rcfg, has_alpha=True, install=False)
+            T = max(1, args.steps_per_call)
+            B = args.batch_size
+
+            def sds(a):
+                return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+            keys = jax.random.split(jax.random.PRNGKey(0), T)
+            fn.lower(
+                jax.tree.map(sds, params), opt_shapes,
+                jax.ShapeDtypeStruct((T, B, 6), jnp.float32),
+                jax.ShapeDtypeStruct((T, B, 3), jnp.float32),
+                sds(keys), jax.ShapeDtypeStruct((T,), jnp.int32),
+                jax.ShapeDtypeStruct((), jnp.float32),
+                sds(grid.volume), sds(grid.aabb), sds(grid.table),
+            ).compile()
+        except Exception as e:  # pragma: no cover - best-effort by design
+            print(f"[trainer] event-program prewarm skipped: {e}")
 
     def make_forward_block(self):
         """Forward-only scan block (no grads/optimizer): the profiling probe
@@ -722,6 +839,9 @@ class TriPlaneTrainer:
         mses_accum: list[float] = []
         t0 = time.time()
         first_mask_done = False
+        # Seed the remote compile cache with the first event's programs while
+        # the open stage trains (no-op when disabled / already masked).
+        self._start_event_prewarm()
 
         while self.iteration < args.n_iters:
             # run until the next boundary (event / vis / save / end)

@@ -119,6 +119,59 @@ class TestStageProgramIdentity:
             "baked in as a constant"
         )
 
+    def test_prewarm_predicts_the_event_time_program(self, datasets):
+        """The background prewarm (loop.py:_prewarm_worker) AOT-compiles a
+        PREDICTED masked-stage program before the first event; its value is
+        zero unless that program is byte-identical to the one `_build_step`
+        creates at the event. Pin the prediction."""
+        train_ds, test_ds = datasets
+        trainer = TriPlaneTrainer(
+            tiny_args(sample_cap=-1, open_sample_cap=64, masked_sample_cap=64),
+            train_ds, test_ds, None,
+        )
+        rcfg_pred = trainer._predict_masked_stage_rcfg()
+        assert rcfg_pred is not None
+        fn_pred = trainer._build_step(rcfg=rcfg_pred, has_alpha=True, install=False)
+        # the detached build must not have touched trainer state
+        assert not trainer._step_has_alpha
+
+        trainer.train_block(8)
+        trainer._event_update_alpha_mask(first=True)
+        assert trainer._render_cfg() == rcfg_pred
+
+        args = trainer.args
+        size = 4
+        rays = jax.ShapeDtypeStruct((size, args.batch_size, 6), jnp.float32)
+        rgbs = jax.ShapeDtypeStruct((size, args.batch_size, 3), jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(0), size)
+        its = jnp.zeros((size,), jnp.int32)
+        l1 = jnp.float32(trainer.l1_weight)
+        a = trainer.alpha
+        lower_args = (
+            trainer.params, trainer.opt_state, rays, rgbs, keys, its, l1,
+            a.volume, a.aabb, a.table,
+        )
+        assert (
+            fn_pred.lower(*lower_args).as_text()
+            == trainer._step.lower(*lower_args).as_text()
+        )
+
+    def test_prewarm_auto_cap_declines_unpredictable_stage(self, datasets):
+        """With a fully-auto capacity (no masked_sample_cap) or rgb_cap=-2
+        the stage program cannot be known before the event — the predictor
+        must say so instead of seeding a wrong program."""
+        train_ds, test_ds = datasets
+        t1 = TriPlaneTrainer(
+            tiny_args(sample_cap=-1, open_sample_cap=64), train_ds, test_ds, None
+        )
+        assert t1._predict_masked_stage_rcfg() is None
+        t2 = TriPlaneTrainer(
+            tiny_args(sample_cap=-1, open_sample_cap=64, masked_sample_cap=64,
+                      rgb_cap=-2),
+            train_ds, test_ds, None,
+        )
+        assert t2._predict_masked_stage_rcfg() is None
+
     def test_occupancy_count_is_content_independent(self, datasets):
         """`occupied_samples_per_ray` runs at every event and upsample; its
         program must depend only on shapes. Two grids of identical shape but
