@@ -138,6 +138,13 @@ class TriPlaneTrainer:
 
         self.n_voxel_list = self._voxel_schedule()
 
+        # Stage-step jit memo: events whose static render config is unchanged
+        # (every InfoInv mask event after the first) reuse the SAME jit
+        # wrapper — and with it every executable already compiled in-process
+        # (all scan-block sizes). See _build_step.
+        self._step_jit_cache: dict = {}
+        self._opt_version = 0
+
         # Ray pre-filter (bbox) before training (`InfoInv/main.py:252`).
         self.all_rays = np.asarray(train_dataset.all_rays, np.float32)
         self.all_rgbs = np.asarray(train_dataset.all_rgbs, np.float32)
@@ -185,6 +192,10 @@ class TriPlaneTrainer:
         self.optimizer = make_optimizer(
             lr_tree, self.args.lr_decay_target_ratio, decay_iters
         )
+        # The step jit closes over the optimizer: a rebuild invalidates the
+        # stage-step memo (see _build_step). In practice every optimizer
+        # rebuild coincides with a render-config change (shrink/upsample).
+        self._opt_version = getattr(self, "_opt_version", 0) + 1
         if reset:
             self.opt_state = self.optimizer.init(self.params)
 
@@ -297,6 +308,22 @@ class TriPlaneTrainer:
                 n_samples=-(-rcfg.n_samples // n_sp) * n_sp,
             )
             has_alpha = False
+
+        # In-process memo: the block below closes only over rcfg, has_alpha,
+        # the optimizer and per-run constants (model_cfg, microbatch, TV/L1
+        # wiring — l1 itself is a traced argument). Two stages with an equal
+        # key therefore need the SAME program, and reusing the jit wrapper
+        # reuses every executable it already compiled (all scan-block sizes)
+        # — mask events with an unchanged static config (fixed masked cap,
+        # dense shading) cost no re-trace and no compile-service round-trip
+        # at all (tests/test_compile_cache.py pins wrapper identity).
+        cache_key = (rcfg, has_alpha, self._opt_version)
+        fn = self._step_jit_cache.get(cache_key)
+        if fn is not None:
+            if install:
+                self._step_has_alpha = has_alpha
+                self._step = fn
+            return fn
 
         micro = max(1, self.args.microbatch)
         tv_density = float(self.args.TV_weight_density)
@@ -433,6 +460,7 @@ class TriPlaneTrainer:
             )
         else:
             fn = jax.jit(block, donate_argnums=(0, 1))
+        self._step_jit_cache[cache_key] = fn
         if install:
             self._step_has_alpha = has_alpha
             self._step = fn
@@ -524,25 +552,68 @@ class TriPlaneTrainer:
             rcfg = self._predict_masked_stage_rcfg()
             if rcfg is None:
                 return
-            # AOT-compile the predicted masked-stage step from shapes alone.
+            # The SAME memoized jit wrapper the event will install (equal
+            # cache key when the prediction holds — pinned in
+            # tests/test_compile_cache.py). EXECUTING it here, rather than
+            # AOT-lowering, additionally populates the wrapper's in-process
+            # executable cache, so the event-time first block dispatches with
+            # no re-trace and no compile-service round-trip. One throwaway
+            # warm call per scan-block size the masked schedule will use
+            # (boundary-remainder blocks are distinct programs: the measured
+            # ~36 s odd-block recompiles before every event, NOTES.md).
             fn = self._build_step(rcfg=rcfg, has_alpha=True, install=False)
-            T = max(1, args.steps_per_call)
             B = args.batch_size
-
-            def sds(a):
-                return jax.ShapeDtypeStruct(a.shape, a.dtype)
-
-            keys = jax.random.split(jax.random.PRNGKey(0), T)
-            fn.lower(
-                jax.tree.map(sds, params), opt_shapes,
-                jax.ShapeDtypeStruct((T, B, 6), jnp.float32),
-                jax.ShapeDtypeStruct((T, B, 3), jnp.float32),
-                sds(keys), jax.ShapeDtypeStruct((T,), jnp.int32),
-                jax.ShapeDtypeStruct((), jnp.float32),
-                sds(grid.volume), sds(grid.aabb), sds(grid.table),
-            ).compile()
+            first_mask = min(args.update_AlphaMask_list)
+            for T in sorted(self._stage_block_sizes(first_mask)):
+                p0 = jax.tree.map(jnp.zeros_like, params)
+                o0 = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), opt_shapes
+                )
+                out = fn(
+                    p0, o0,
+                    jnp.zeros((T, B, 6), jnp.float32),
+                    jnp.zeros((T, B, 3), jnp.float32),
+                    jax.random.split(jax.random.PRNGKey(0), T),
+                    jnp.zeros((T,), jnp.int32), jnp.float32(0.0),
+                    grid.volume, grid.aabb, grid.table,
+                )
+                # Host readback: actually wait for the program (CLAUDE.md —
+                # block_until_ready returns early on this backend).
+                float(out[2][-1])
         except Exception as e:  # pragma: no cover - best-effort by design
             print(f"[trainer] event-program prewarm skipped: {e}")
+
+    def _stage_block_sizes(self, start: int) -> set[int]:
+        """Scan-block sizes (`train_block` T values) the run loop will use
+        from iteration ``start`` to the end of training: ``steps_per_call``
+        plus every boundary remainder (events / vis / save / n_iters). Each
+        distinct T is a separate compiled program; the prewarm warms them
+        all so no masked-stage block ever compiles at run time."""
+        args = self.args
+        spc = max(1, args.steps_per_call)
+        events = sorted(
+            set(
+                list(args.update_AlphaMask_list or [])
+                + [
+                    i for i in (args.upsamp_list or [])
+                    if args.subsystem == "triplane"
+                ]
+            )
+        )
+        sizes: set[int] = set()
+        it = start
+        while it < args.n_iters:
+            boundaries = [args.n_iters] + [e for e in events if e > it]
+            if args.N_vis != 0 and args.vis_every > 0:
+                boundaries.append(((it // args.vis_every) + 1) * args.vis_every)
+            if args.save_every > 0:
+                boundaries.append(((it // args.save_every) + 1) * args.save_every)
+            target = min(b for b in boundaries if b > it)
+            while it < target:
+                b = min(spc, target - it)
+                sizes.add(b)
+                it += b
+        return sizes
 
     def make_forward_block(self):
         """Forward-only scan block (no grads/optimizer): the profiling probe

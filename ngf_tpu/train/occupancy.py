@@ -20,7 +20,7 @@ exactly like `AlphaGridMask.sample_alpha` (`FieldBase.py:33-37`).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -58,6 +58,57 @@ class AlphaGrid:
         return dataclasses.replace(self, table=table)
 
 
+# --------------------------------------------------------------------------
+# Memoized jit wrappers. These event-time programs already lower to
+# byte-identical HLO across events (volume/aabb/step are traced arguments),
+# so the remote compile SERVICE dedupes them — but a fresh `jax.jit` wrapper
+# per call still pays a full re-trace plus a service round-trip (~30 s each
+# on this backend) at EVERY event. Holding one wrapper per static
+# configuration makes every call after the first an in-process executable
+# cache hit (~0 s). Bounded caches: the keys are per-run constants, but the
+# test suite builds many tiny configs in one process.
+
+
+@lru_cache(maxsize=32)
+def _alpha_chunk_fn(model_cfg: TriPlaneConfig):
+    return jax.jit(partial(compute_alpha_grid_chunk, model_cfg=model_cfg))
+
+
+@lru_cache(maxsize=32)
+def _count_fn(near: float, far: float, n_samples: int):
+    @jax.jit
+    def count_fn(rays, vol, vaabb, aabb_t, step):
+        pts, _, inb = stratified_sample(
+            None, rays[:, :3], rays[:, 3:6], aabb_t, near, far,
+            n_samples, step, False,
+        )
+        a = grid_sample_3d(vol[..., None], normalize_coord(pts, vaabb))[..., 0]
+        occ = (a > 0) & inb
+        return occ.sum(axis=-1)
+
+    return count_fn
+
+
+@lru_cache(maxsize=32)
+def _filter_alpha_fn(near: float, far: float, n_samples: int):
+    @jax.jit
+    def mask_fn(rays, vol, vaabb, aabb_t, step):
+        pts, _, _ = stratified_sample(
+            None, rays[:, :3], rays[:, 3:6], aabb_t, near, far,
+            n_samples, step, False,
+        )
+        a = grid_sample_3d(vol[..., None], normalize_coord(pts, vaabb))[..., 0]
+        return (a > 0).any(axis=-1)
+
+    return mask_fn
+
+
+@jax.jit
+def _bbox_mask_fn(rays, aabb):
+    t_min, t_max = ray_aabb_range(rays[:, :3], rays[:, 3:6], aabb)
+    return t_max > t_min
+
+
 def dense_grid_points(aabb: np.ndarray, grid_size: tuple[int, int, int]) -> np.ndarray:
     """(gx, gy, gz, 3) lattice of sample positions spanning the AABB
     (`FieldBase.py:165-170`)."""
@@ -87,10 +138,10 @@ def update_alpha_mask(
 
     # step_size is a traced scalar (it only scales sigma -> alpha), so the
     # lowered program is byte-identical across events even after a shrink
-    # changes the marching step — the remote-XLA service compile cache then
-    # turns later-event rebuilds into ~30 s cache hits instead of minute-scale
-    # fresh compiles (tests/test_compile_cache.py).
-    alpha_fn = jax.jit(partial(compute_alpha_grid_chunk, model_cfg=model_cfg))
+    # changes the marching step; the wrapper itself is memoized so later
+    # events skip the re-trace + compile-service round-trip entirely
+    # (tests/test_compile_cache.py).
+    alpha_fn = _alpha_chunk_fn(model_cfg)
     step_j = jnp.float32(step_size)
     aabb_j = jnp.asarray(aabb_np)
     prev_vol = prev.volume if prev is not None else None
@@ -146,14 +197,11 @@ def filter_rays_bbox(
     (`FieldBase.py:207-213`)."""
     aabb_j = jnp.asarray(np.asarray(aabb, np.float32))
 
-    @jax.jit
-    def mask_fn(rays):
-        t_min, t_max = ray_aabb_range(rays[:, :3], rays[:, 3:6], aabb_j)
-        return t_max > t_min
-
     keep = []
     for i in range(0, all_rays.shape[0], chunk):
-        keep.append(np.asarray(mask_fn(jnp.asarray(all_rays[i : i + chunk]))))
+        keep.append(
+            np.asarray(_bbox_mask_fn(jnp.asarray(all_rays[i : i + chunk]), aabb_j))
+        )
     return np.concatenate(keep)
 
 
@@ -178,17 +226,9 @@ def occupied_samples_per_ray(
 
     # The occupancy volume, its aabb and the marching step are traced
     # arguments (not closure constants) so every event's count program is
-    # byte-identical — the remote-XLA compile cache makes re-measures after
-    # the first event ~free (tests/test_compile_cache.py).
-    @jax.jit
-    def count_fn(rays, vol, vaabb, aabb_t, step):
-        pts, _, inb = stratified_sample(
-            None, rays[:, :3], rays[:, 3:6], aabb_t, near, far,
-            n_samples, step, False,
-        )
-        a = grid_sample_3d(vol[..., None], normalize_coord(pts, vaabb))[..., 0]
-        occ = (a > 0) & inb
-        return occ.sum(axis=-1)
+    # byte-identical, and the memoized wrapper makes re-measures after the
+    # first event in-process cache hits (tests/test_compile_cache.py).
+    count_fn = _count_fn(float(near), float(far), int(n_samples))
 
     rays = all_rays
     if rays.shape[0] > max_rays:
@@ -234,14 +274,7 @@ def filter_rays_alpha(
 
     # Volume/aabb/step as traced args — same compile-cache rationale as
     # ``occupied_samples_per_ray``.
-    @jax.jit
-    def mask_fn(rays, vol, vaabb, aabb_t, step):
-        pts, _, _ = stratified_sample(
-            None, rays[:, :3], rays[:, 3:6], aabb_t, near, far,
-            n_samples, step, False,
-        )
-        a = grid_sample_3d(vol[..., None], normalize_coord(pts, vaabb))[..., 0]
-        return (a > 0).any(axis=-1)
+    mask_fn = _filter_alpha_fn(float(near), float(far), int(n_samples))
 
     keep = []
     for i in range(0, all_rays.shape[0], chunk):
