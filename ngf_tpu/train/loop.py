@@ -521,6 +521,52 @@ class TriPlaneTrainer:
             name="ngf-event-prewarm",
         )
         self._prewarm_thread.start()
+        # The OPEN stage's boundary-remainder blocks (e.g. 300 % spc) are
+        # distinct scan-length programs of the already-installed open step;
+        # left alone, the main thread compiles them cold right before the
+        # event (measured: a 286 s stall at iteration 296 on the 30k
+        # schedule — bigger than the whole prewarmed mask event). Warm them
+        # in a separate thread: the compile service runs concurrent requests,
+        # and the main thread's later call on the SAME memoized wrapper
+        # joins the in-flight compile instead of starting its own.
+        first_mask = min(args.update_AlphaMask_list)
+        open_sizes = self._stage_block_sizes(self.iteration, stop=first_mask)
+        open_sizes.discard(max(1, args.steps_per_call))  # main thread's first compile
+        if open_sizes:
+            self._prewarm_open_thread = threading.Thread(
+                target=self._prewarm_open_worker,
+                args=(params_snap, opt_shapes, open_sizes),
+                daemon=True,
+                name="ngf-open-block-prewarm",
+            )
+            self._prewarm_open_thread.start()
+
+    def _prewarm_open_worker(self, params, opt_shapes, sizes):
+        """Warm the open-stage step at each remainder scan-block size.
+
+        ``_build_step(install=False)`` returns the SAME memoized jit wrapper
+        the run loop installed (equal cache key: same rcfg, has_alpha=False,
+        same optimizer), so executing it here with zero-filled T-shaped args
+        populates the executable cache the main thread will hit."""
+        try:
+            fn = self._build_step(has_alpha=False, install=False)
+            B = self.args.batch_size
+            for T in sorted(sizes):
+                p0 = jax.tree.map(jnp.zeros_like, params)
+                o0 = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), opt_shapes
+                )
+                out = fn(
+                    p0, o0,
+                    jnp.zeros((T, B, 6), jnp.float32),
+                    jnp.zeros((T, B, 3), jnp.float32),
+                    jax.random.split(jax.random.PRNGKey(0), T),
+                    jnp.zeros((T,), jnp.int32), jnp.float32(0.0),
+                )
+                # Host readback: actually wait for the program (CLAUDE.md).
+                float(out[2][-1])
+        except Exception as e:  # pragma: no cover - best-effort by design
+            print(f"[trainer] open-stage block prewarm skipped: {e}")
 
     def _prewarm_worker(self, params, opt_shapes, all_rays):
         try:
@@ -583,12 +629,15 @@ class TriPlaneTrainer:
         except Exception as e:  # pragma: no cover - best-effort by design
             print(f"[trainer] event-program prewarm skipped: {e}")
 
-    def _stage_block_sizes(self, start: int) -> set[int]:
+    def _stage_block_sizes(self, start: int, stop: int | None = None) -> set[int]:
         """Scan-block sizes (`train_block` T values) the run loop will use
-        from iteration ``start`` to the end of training: ``steps_per_call``
-        plus every boundary remainder (events / vis / save / n_iters). Each
-        distinct T is a separate compiled program; the prewarm warms them
-        all so no masked-stage block ever compiles at run time."""
+        from iteration ``start`` to ``stop`` (default: end of training):
+        ``steps_per_call`` plus every boundary remainder (events / vis /
+        save / n_iters). Each distinct T is a separate compiled program; the
+        prewarm warms them all so no stage block ever compiles at run time.
+        (Measured: the 3000-iter prewarm run's single remaining stall was
+        the open stage's 300 % 8 = 4 remainder block — 286 s of main-thread
+        compile, bigger than the whole prewarmed mask event. NOTES.md.)"""
         args = self.args
         spc = max(1, args.steps_per_call)
         events = sorted(
@@ -602,13 +651,14 @@ class TriPlaneTrainer:
         )
         sizes: set[int] = set()
         it = start
-        while it < args.n_iters:
+        end = args.n_iters if stop is None else min(stop, args.n_iters)
+        while it < end:
             boundaries = [args.n_iters] + [e for e in events if e > it]
             if args.N_vis != 0 and args.vis_every > 0:
                 boundaries.append(((it // args.vis_every) + 1) * args.vis_every)
             if args.save_every > 0:
                 boundaries.append(((it // args.save_every) + 1) * args.save_every)
-            target = min(b for b in boundaries if b > it)
+            target = min(min(b for b in boundaries if b > it), end)
             while it < target:
                 b = min(spc, target - it)
                 sizes.add(b)

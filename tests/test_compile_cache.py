@@ -194,6 +194,52 @@ class TestStageProgramIdentity:
         )
         assert t2._predict_masked_stage_rcfg() is None
 
+    def test_open_remainder_block_sizes(self, datasets):
+        """The open stage's boundary-remainder scan blocks are distinct
+        programs (measured: a 286 s main-thread compile at iteration 296 of
+        the 30k schedule — the last cold compile the prewarm didn't cover).
+        `_stage_block_sizes(0, stop=first_event)` must enumerate exactly the
+        open-stage T values so `_prewarm_open_worker` can warm them."""
+        train_ds, test_ds = datasets
+        trainer = TriPlaneTrainer(
+            tiny_args(sample_cap=-1, open_sample_cap=64, masked_sample_cap=64,
+                      n_iters=3000, steps_per_call=8,
+                      update_AlphaMask_list=[300, 2000, 2500]),
+            train_ds, test_ds, None,
+        )
+        assert trainer._stage_block_sizes(0, stop=300) == {8, 4}
+        # stop beyond n_iters clamps; stop at a multiple leaves only spc
+        assert trainer._stage_block_sizes(0, stop=296) == {8}
+
+    def test_open_prewarm_warms_the_installed_wrapper(self, datasets):
+        """`_prewarm_open_worker` must execute the SAME memoized jit wrapper
+        the run loop uses for the open stage (equal _build_step cache key),
+        at the remainder block size — so the main thread's later call is an
+        executable-cache hit, not a fresh compile."""
+        import jax.tree_util as jtu
+
+        train_ds, test_ds = datasets
+        trainer = TriPlaneTrainer(
+            tiny_args(sample_cap=-1, open_sample_cap=64, masked_sample_cap=64,
+                      steps_per_call=8, update_AlphaMask_list=[12]),
+            train_ds, test_ds, None,
+        )
+        trainer.train_block(8)  # installs the open wrapper (T=8 executable)
+        installed = trainer._step
+        opt_shapes = jtu.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), trainer.opt_state
+        )
+        sizes = trainer._stage_block_sizes(trainer.iteration, stop=12)
+        sizes.discard(8)
+        assert sizes == {4}
+        trainer._prewarm_open_worker(trainer.params, opt_shapes, sizes)
+        # the worker went through the same wrapper — no second jit object
+        assert trainer._build_step(has_alpha=False, install=False) is installed
+        # and the run itself completes through the remainder + event
+        trainer.train_block(4)
+        trainer._event_update_alpha_mask(first=True)
+        assert trainer._step_has_alpha
+
     def test_occupancy_count_is_content_independent(self, datasets):
         """`occupied_samples_per_ray` runs at every event and upsample; its
         program must depend only on shapes. Two grids of identical shape but
