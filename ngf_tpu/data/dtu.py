@@ -183,6 +183,58 @@ class DtuDataset(_DtuSamplingBase):
         self.center_cam_pos = self.campos[min(33, self.total - 1)]
 
 
+def write_dtu_scene(scene_dir: str, ds, test_views: str = "",
+                    exclude_views: str = "", with_masks: bool = True,
+                    point_cloud: np.ndarray | None = None) -> str:
+    """Write a dataset object out in the reference's exact DTU on-disk
+    format (`UV-Mapping/data/dtu.py:65-114`): ``trainData/`` camera npys,
+    uint8 ``data.hdf5`` (``in`` images + optional ``in_masks``), optional
+    ``test_views.txt``/``exclude.txt``, and an ascii ``pcd_down_unit.ply``
+    (only ``.vertices`` is ever read by the reference; no loss consumes it).
+
+    ``ds`` needs the `_DtuSamplingBase` camera attributes plus
+    ``gt_image``/``gt_mask`` — `SyntheticDtuDataset` qualifies, so this is
+    both the A/B-harness exporter and the fixture writer that lets tests
+    execute `DtuDataset`'s real hdf5 branch. Returns ``scene_dir``.
+    """
+    import h5py
+
+    d = os.path.join(scene_dir, "trainData")
+    os.makedirs(d, exist_ok=True)
+    np.save(os.path.join(d, "in_camOrgs.npy"), ds.campos)
+    np.save(os.path.join(d, "in_camAts.npy"), ds.camat)
+    np.save(os.path.join(d, "in_camFocal.npy"), ds.focal)
+    np.save(os.path.join(d, "in_camPrincpt.npy"), ds.princpt)
+    np.save(os.path.join(d, "in_camExtrinsics.npy"), ds.extrinsics)
+    if test_views:
+        with open(os.path.join(d, "test_views.txt"), "w") as f:
+            f.write(test_views + "\n")
+    if exclude_views:
+        with open(os.path.join(d, "exclude.txt"), "w") as f:
+            f.write(exclude_views + "\n")
+    with h5py.File(os.path.join(d, "data.hdf5"), "w") as f:
+        f.create_dataset(
+            "in", data=np.clip(ds.gt_image * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        )
+        if with_masks:
+            f.create_dataset(
+                "in_masks", data=(ds.gt_mask * 255.0).astype(np.uint8)
+            )
+    if point_cloud is None:
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((1024, 3))
+        r = getattr(ds, "SPHERE_RADIUS", 0.6)
+        point_cloud = r * v / np.linalg.norm(v, axis=-1, keepdims=True)
+    with open(os.path.join(d, "pcd_down_unit.ply"), "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(point_cloud)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "end_header\n")
+        for p in point_cloud:
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+    return scene_dir
+
+
 def _sphere_texture(n: np.ndarray) -> np.ndarray:
     """Smooth view-independent color over the unit sphere."""
     x, y, z = n[..., 0], n[..., 1], n[..., 2]

@@ -290,3 +290,124 @@ class TestABExportFormats:
         gt = self._gt((24, 24), 3)
         assert np.abs(ds.all_rays - gt.all_rays).max() < 1e-6
         assert np.abs(ds.all_rgbs - gt.all_rgbs).max() <= 1.0 / 255 + 1e-6
+
+
+class TestDtuHdf5:
+    """Execute `DtuDataset`'s REAL on-disk branch (`ngf_tpu/data/dtu.py`,
+    ref `UV-Mapping/data/dtu.py:65-114`) against a synthesized fixture in
+    the exact reference layout (uint8 hdf5 images/masks + camera npys)."""
+
+    N_VIEWS, WH = 8, (24, 24)
+    TEST_VIEWS, EXCLUDE = "1,5", "6"
+
+    @pytest.fixture(scope="class")
+    def scene(self, tmp_path_factory):
+        from ngf_tpu.data.dtu import SyntheticDtuDataset, write_dtu_scene
+
+        syn = SyntheticDtuDataset(n_views=self.N_VIEWS, wh=self.WH)
+        root = str(tmp_path_factory.mktemp("dtu_scene"))
+        write_dtu_scene(root, syn, test_views=self.TEST_VIEWS,
+                        exclude_views=self.EXCLUDE)
+        return root, syn
+
+    def test_image_and_mask_decode(self, scene):
+        from ngf_tpu.data.dtu import DtuDataset
+
+        root, syn = scene
+        ds = DtuDataset(root)
+        assert (ds.height, ds.width) == (self.WH[1], self.WH[0])
+        assert ds.gt_image.shape == syn.gt_image.shape
+        # uint8 roundtrip: within half a quantization step
+        assert np.abs(ds.gt_image - syn.gt_image).max() <= 0.5 / 255 + 1e-6
+        # masks are binary in the fixture; /255 must restore {0, 1}
+        assert set(np.unique(ds.gt_mask)) <= {0.0, 1.0}
+        np.testing.assert_array_equal(ds.gt_mask, syn.gt_mask)
+
+    def test_holdout_and_exclude(self, scene):
+        from ngf_tpu.data.dtu import DtuDataset
+
+        root, _ = scene
+        train = DtuDataset(root)
+        assert train.indexes == [0, 2, 3, 4, 7]  # minus test {1,5}, excl {6}
+        test = DtuDataset(root, use_test_data=True)
+        assert test.indexes == [1, 5]
+        # test_views.txt on disk takes precedence over the CLI string
+        # (ref dtu.py:86-90)
+        assert DtuDataset(root, use_test_data=True,
+                          test_views="0,2").indexes == [1, 5]
+
+    def test_cli_test_views_fallback(self, scene, tmp_path):
+        """Without test_views.txt the CLI string decides the holdout."""
+        import shutil
+
+        from ngf_tpu.data.dtu import DtuDataset
+
+        root, _ = scene
+        alt = str(tmp_path / "scene2")
+        shutil.copytree(root, alt)
+        os.remove(os.path.join(alt, "trainData", "test_views.txt"))
+        assert DtuDataset(alt, use_test_data=True,
+                          test_views="0,2").indexes == [0, 2]
+
+    def test_masks_absent_branch(self, scene, tmp_path):
+        """No `in_masks` dataset -> gt_mask of ones (ref dtu.py:108-111)."""
+        from ngf_tpu.data.dtu import DtuDataset, SyntheticDtuDataset, \
+            write_dtu_scene
+
+        syn = SyntheticDtuDataset(n_views=2, wh=(16, 16))
+        root = str(tmp_path / "nomask")
+        write_dtu_scene(root, syn, with_masks=False)
+        ds = DtuDataset(root, test_views="1")
+        assert (ds.gt_mask == 1.0).all()
+
+    def test_balanced_sampling_uses_real_masks(self, scene):
+        from ngf_tpu.data.dtu import DtuDataset
+
+        root, syn = scene
+        ds = DtuDataset(root, random_sample="balanced",
+                        random_sample_size=6, seed=0)
+        item = ds.get_item(0)
+        view = ds.indexes[0]
+        t = item["transmittance"][0]
+        assert (t[:24] == 0).all() and (t[24:] == 1).all()
+        # recover sampled pixel coords from the gt colors is ambiguous;
+        # instead re-run the selection and check mask membership directly
+        px, py, _ = ds._proportional_select(ds.gt_mask[view])
+        fg = ds.gt_mask[view][py[:24].astype(int), px[:24].astype(int)]
+        bg = ds.gt_mask[view][py[24:].astype(int), px[24:].astype(int)]
+        assert (fg > 0).all() and (bg == 0).all()
+
+    def test_no_crop_parity_with_synthetic(self, scene):
+        """Same cameras, same view -> identical rays; colors within uint8
+        quantization of the analytic renderer."""
+        from ngf_tpu.data.dtu import DtuDataset
+
+        root, syn = scene
+        ds = DtuDataset(root, use_test_data=True)  # views [1, 5]
+        got = ds.get_item(0)
+        ref = syn.get_item(1)  # synthetic indexes are 0..N-1 identity
+        np.testing.assert_allclose(got["raydir"], ref["raydir"],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(got["campos"], ref["campos"])
+        assert np.abs(got["gt_image"] - ref["gt_image"]).max() \
+            <= 0.5 / 255 + 1e-6
+
+    def test_uv_trainer_smoke_on_hdf5_scene(self, scene):
+        """Two optimizer steps of the real UV trainer fed by the hdf5
+        branch (the uv_train.py `--dataset_name dtu` path)."""
+        from ngf_tpu.data.dtu import DtuDataset
+        from ngf_tpu.fields.neutex import NeuTexConfig
+        from ngf_tpu.train.uv_loop import UVTrainer
+
+        root, _ = scene
+        ds = DtuDataset(root, random_sample="balanced",
+                        random_sample_size=8, seed=0)
+        cfg = NeuTexConfig(
+            primitive_type="square", sample_num=8, points_per_primitive=16,
+            geo_layers=1, tex_layers1=1, tex_layers2=1, tex_width=16,
+            geo_hidden=16, inverse_hidden=16,
+        )
+        trainer = UVTrainer(cfg, ds, lr=1e-3, niter=10, seed=0)
+        for _ in range(2):
+            losses = trainer.train_step(ds.sample())
+        assert all(np.isfinite(v) for v in losses.values())

@@ -42,39 +42,11 @@ TEST_VIEWS = "5,15,25,35"
 # --------------------------------------------------------------------- export
 
 def export_scene(scene_dir: str, views: int, wh: int) -> None:
-    import h5py
-
     sys.path.insert(0, REPO)
-    from ngf_tpu.data.dtu import SyntheticDtuDataset
+    from ngf_tpu.data.dtu import SyntheticDtuDataset, write_dtu_scene
 
     ds = SyntheticDtuDataset(n_views=views, wh=(wh, wh))
-    d = os.path.join(scene_dir, "trainData")
-    os.makedirs(d, exist_ok=True)
-    np.save(os.path.join(d, "in_camOrgs.npy"), ds.campos)
-    np.save(os.path.join(d, "in_camAts.npy"), ds.camat)
-    np.save(os.path.join(d, "in_camFocal.npy"), ds.focal)
-    np.save(os.path.join(d, "in_camPrincpt.npy"), ds.princpt)
-    np.save(os.path.join(d, "in_camExtrinsics.npy"), ds.extrinsics)
-    with open(os.path.join(d, "test_views.txt"), "w") as f:
-        f.write(TEST_VIEWS + "\n")
-    with h5py.File(os.path.join(d, "data.hdf5"), "w") as f:
-        f.create_dataset(
-            "in", data=np.clip(ds.gt_image * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        )
-        f.create_dataset(
-            "in_masks", data=(ds.gt_mask * 255.0).astype(np.uint8)
-        )
-    # sphere-surface point cloud (only .vertices is ever read)
-    rng = np.random.default_rng(0)
-    v = rng.standard_normal((1024, 3))
-    v = ds.SPHERE_RADIUS * v / np.linalg.norm(v, axis=-1, keepdims=True)
-    with open(os.path.join(d, "pcd_down_unit.ply"), "w") as f:
-        f.write("ply\nformat ascii 1.0\n"
-                f"element vertex {len(v)}\n"
-                "property float x\nproperty float y\nproperty float z\n"
-                "end_header\n")
-        for p in v:
-            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+    write_dtu_scene(scene_dir, ds, test_views=TEST_VIEWS)
     print(f"[export] {views} views at {wh}x{wh} -> {scene_dir} "
           f"(test views {TEST_VIEWS})")
 
