@@ -411,3 +411,127 @@ class TestDtuHdf5:
         for _ in range(2):
             losses = trainer.train_step(ds.sample())
         assert all(np.isfinite(v) for v in losses.values())
+
+
+@pytest.fixture()
+def tankstemple_dir(tmp_path):
+    """T&T (NSVF export) fixture: bbox.txt + full intrinsics matrix +
+    0_/1_/2_ prefix splits (`InfoInv/dataLoader/tankstemple.py:86-130`)."""
+    rng = np.random.default_rng(7)
+    np.savetxt(tmp_path / "bbox.txt",
+               np.array([[-0.5, -0.4, -0.3, 0.5, 0.6, 0.7, 0.01]]))
+    intr = np.eye(4)
+    intr[0, 0], intr[1, 1] = 100.0, 110.0
+    intr[0, 2], intr[1, 2] = 16.0, 8.0
+    np.savetxt(tmp_path / "intrinsics.txt", intr)
+    os.makedirs(tmp_path / "pose")
+    os.makedirs(tmp_path / "rgb")
+    for prefix, n in (("0", 2), ("1", 1), ("2", 1)):
+        for i in range(n):
+            c2w = np.eye(4)
+            c2w[:3, 3] = [0.2 * i, 0.1, 3.0]
+            np.savetxt(tmp_path / "pose" / f"{prefix}_{i:03d}.txt", c2w)
+            if prefix == "0" and i == 0:
+                # constant RGBA for the alpha-blend golden value
+                img = np.empty((8, 16, 4), np.uint8)
+                img[..., :3] = [100, 150, 200]
+                img[..., 3] = 128
+            else:
+                img = rng.integers(0, 255, (8, 16, 4), dtype=np.uint8)
+            write_png(tmp_path / "rgb" / f"{prefix}_{i:03d}.png", img)
+    return str(tmp_path)
+
+
+class TestTanksTemple:
+    """Dedicated loader test (ref `tankstemple.py:86-186`): bbox padding,
+    intrinsics rescale, prefix splits + 2_->1_ fallback, RGBA white blend,
+    ray-direction oracle, circular look-at render path golden values."""
+
+    WH, DS = (32, 16), 2.0  # native 32x16, downsample 2 -> img_wh (16, 8)
+
+    def _load(self, d, split="train"):
+        return dataset_dict["tankstemple"](
+            d, split=split, downsample=self.DS, wh=self.WH
+        )
+
+    def test_bbox_intrinsics_flags(self, tankstemple_dir):
+        ds = self._load(tankstemple_dir)
+        np.testing.assert_allclose(
+            ds.scene_bbox,
+            np.array([[-0.5, -0.4, -0.3], [0.5, 0.6, 0.7]]) * 1.2, atol=1e-6,
+        )
+        assert ds.near_far == (0.01, 6.0) and ds.white_bg
+        # intr[:2] scaled by img_wh / wh (tankstemple.py:117)
+        np.testing.assert_allclose(
+            [ds.intrinsics[0, 0], ds.intrinsics[1, 1],
+             ds.intrinsics[0, 2], ds.intrinsics[1, 2]],
+            [50.0, 55.0, 8.0, 4.0],
+        )
+
+    def test_splits_and_fallback(self, tankstemple_dir):
+        assert self._load(tankstemple_dir).all_rays.shape == (2 * 16 * 8, 6)
+        assert self._load(tankstemple_dir, "val").all_rays.shape[0] == 1
+        test = self._load(tankstemple_dir, "test")
+        assert test.all_rays.shape == (1, 16 * 8, 6)  # stacked, 2_ prefix
+        # remove 2_ files -> test split falls back to 1_ (tankstemple.py:127)
+        import shutil
+
+        alt = os.path.join(os.path.dirname(tankstemple_dir), "tt_no2")
+        shutil.copytree(tankstemple_dir, alt)
+        for sub in ("pose", "rgb"):
+            for f in os.listdir(os.path.join(alt, sub)):
+                if f.startswith("2_"):
+                    os.remove(os.path.join(alt, sub, f))
+        fb = self._load(alt, "test")
+        assert fb.all_rays.shape[0] == 1
+        onedir = self._load(tankstemple_dir, "val")  # stacked (1, 128, 6)
+        np.testing.assert_allclose(fb.all_rays, onedir.all_rays, atol=1e-6)
+
+    def test_alpha_blend_to_white(self, tankstemple_dir):
+        ds = self._load(tankstemple_dir)
+        a = 128.0 / 255.0
+        want = np.array([100, 150, 200], np.float32) / 255.0 * a + (1 - a)
+        got = ds.all_rgbs[: 16 * 8]  # first image is the constant one
+        np.testing.assert_allclose(got, np.tile(want, (128, 1)), atol=1e-3)
+
+    def test_ray_direction_oracle(self, tankstemple_dir):
+        """Numpy oracle from the cited formulas (`ray_utils.py:24-86`):
+        pixel-center grid, full-matrix principal point, normalized dirs
+        rotated by c2w."""
+        ds = self._load(tankstemple_dir)
+        fx, fy = 50.0, 55.0
+        cx, cy = 8.0, 4.0
+        i, j = np.meshgrid(np.arange(16) + 0.5, np.arange(8) + 0.5)
+        dirs = np.stack([(i - cx) / fx, (j - cy) / fy, np.ones_like(i)], -1)
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.0, 0.1, 3.0]  # first 0_ pose
+        d = (dirs.reshape(-1, 3) @ c2w[:3, :3].T).astype(np.float32)
+        np.testing.assert_allclose(ds.all_rays[:128, 3:], d, atol=1e-6)
+        np.testing.assert_allclose(
+            ds.all_rays[:128, :3], np.tile(c2w[:3, 3], (128, 1)), atol=1e-6
+        )
+
+    def test_circular_path_golden(self, tankstemple_dir):
+        """Independent re-derivation of the reference's render path
+        (`tankstemple.py:165-172` circle + gen_path look-at)."""
+        ds = self._load(tankstemple_dir)
+        assert ds.render_path.shape == (200, 4, 4)
+        center = ds.scene_bbox.mean(0)
+        radius = float(np.linalg.norm(ds.scene_bbox[1] - center)) * 1.2
+        up = ds.poses[:, :3, 1].mean(0)  # identity rotations -> (0,1,0)
+        h = -0.2 * float(up[1])
+
+        def norm(v):
+            return v / (np.linalg.norm(v) + 1e-8)
+
+        for t in (0, 67, 133):
+            ang = t * (360.0 / 200) * np.pi / 180.0
+            pos = np.array([radius * np.cos(ang), h, radius * np.sin(ang)])
+            z = norm(-pos)
+            x = norm(np.cross(up, z))
+            y = norm(np.cross(z, x))
+            want = np.eye(4)
+            want[:3, :3] = np.stack([x, y, z], 1)
+            want[:3, 3] = pos + center
+            np.testing.assert_allclose(ds.render_path[t], want, atol=1e-5)
