@@ -189,13 +189,25 @@ class TriPlaneTrainer:
             if self.args.lr_decay_iters > 0
             else self.args.n_iters
         )
-        self.optimizer = make_optimizer(
-            lr_tree, self.args.lr_decay_target_ratio, decay_iters
+        # The step jit closes over the optimizer: a NEW optimizer function
+        # invalidates the stage-step memo (see _build_step). An event reset
+        # that re-creates a functionally identical optimizer — same per-leaf
+        # base LRs and decay schedule, the case at every shrink/upsample,
+        # where only the STATE restarts (`TriPlane/main.py:345-357`) — keeps
+        # the object and the version, so stage programs prewarmed before the
+        # event (e.g. _prewarm_upsample_worker) stay installable.
+        key = (
+            jax.tree.structure(lr_tree),
+            tuple(jax.tree.leaves(lr_tree)),
+            float(self.args.lr_decay_target_ratio),
+            int(decay_iters),
         )
-        # The step jit closes over the optimizer: a rebuild invalidates the
-        # stage-step memo (see _build_step). In practice every optimizer
-        # rebuild coincides with a render-config change (shrink/upsample).
-        self._opt_version = getattr(self, "_opt_version", 0) + 1
+        if getattr(self, "_opt_key", None) != key:
+            self.optimizer = make_optimizer(
+                lr_tree, self.args.lr_decay_target_ratio, decay_iters
+            )
+            self._opt_version = getattr(self, "_opt_version", 0) + 1
+            self._opt_key = key
         if reset:
             self.opt_state = self.optimizer.init(self.params)
 
@@ -530,8 +542,15 @@ class TriPlaneTrainer:
         # and the main thread's later call on the SAME memoized wrapper
         # joins the in-flight compile instead of starting its own.
         first_mask = min(args.update_AlphaMask_list)
-        open_sizes = self._stage_block_sizes(self.iteration, stop=first_mask)
-        open_sizes.discard(max(1, args.steps_per_call))  # main thread's first compile
+        open_order = self._stage_block_sizes(
+            self.iteration, stop=first_mask, ordered=True
+        )
+        open_sizes = set(open_order)
+        if open_order:
+            # The main thread compiles the FIRST block itself (which is a
+            # remainder, not steps_per_call, when a boundary lands within
+            # the first spc iterations — e.g. resume just before an event).
+            open_sizes.discard(open_order[0])
         if open_sizes:
             self._prewarm_open_thread = threading.Thread(
                 target=self._prewarm_open_worker,
@@ -629,7 +648,132 @@ class TriPlaneTrainer:
         except Exception as e:  # pragma: no cover - best-effort by design
             print(f"[trainer] event-program prewarm skipped: {e}")
 
-    def _stage_block_sizes(self, start: int, stop: int | None = None) -> set[int]:
+    def _predict_upsample_rcfg(self):
+        """(next_upsample_iter, target_reso, rcfg) for the NEXT upsample
+        event, or None when it cannot be known yet.
+
+        At the end of a TriPlane shrink (or a previous upsample) everything
+        the next upsample will install (`TriPlane/main.py:345-357`) becomes
+        computable minutes before it fires: the voxel schedule + the
+        now-final aabb give the target plane resolution, step_size and
+        n_samples; and the event's auto-capacity re-measurement
+        (`_event_upsample`) is a deterministic function of the occupancy
+        grid, the filtered ray set and the new marching step — all already
+        in hand. Declined when a mask event fires in between (it rebuilds
+        the grid, changing the measured capacity) or when the shading
+        capacity is event-measured (rgb_cap=-2)."""
+        import dataclasses as _dc
+
+        args = self.args
+        if (
+            args.subsystem != "triplane"
+            or self.alpha is None
+            or not self.n_voxel_list
+        ):
+            return None
+        ups = [u for u in (args.upsamp_list or []) if u > self.iteration]
+        if not ups:
+            return None
+        nxt = min(ups)
+        if any(
+            self.iteration < e <= nxt
+            for e in (args.update_AlphaMask_list or [])
+        ):
+            return None
+        if args.rgb_cap == -2:
+            return None
+        reso = n_to_reso(self.n_voxel_list[0], self.aabb)
+        n_samples = min(args.nSamples, cal_n_samples(reso, args.step_ratio))
+        step = grid_step_size(self.aabb, list(reso), args.step_ratio)
+        if args.sample_cap != -1:
+            cap = args.sample_cap
+        elif args.masked_sample_cap > 0:
+            cap = args.masked_sample_cap
+        else:
+            counts = occupied_samples_per_ray(
+                self.all_rays, self.alpha, self.aabb,
+                float(self.train_dataset.near_far[0]),
+                float(self.train_dataset.near_far[1]),
+                step, n_samples,
+            )
+            cap = auto_sample_cap(counts, n_samples)
+        rgb = max(32, cap // 4) if args.rgb_cap == -1 else max(0, args.rgb_cap)
+        rcfg = _dc.replace(
+            self._render_cfg(sample_cap=cap),
+            n_samples=n_samples, step_size=step, rgb_cap=rgb,
+        )
+        return nxt, tuple(int(r) for r in reso), rcfg
+
+    def _start_upsample_prewarm(self):
+        """Background-compile the predicted post-upsample stage program
+        while the post-shrink stage trains (the gauge-run analog of the
+        mask-event prewarm: measured multi-minute cold stage compiles at
+        upsample events, NOTES.md). Because optimizer resets keep the same
+        optimizer function (see _make_optimizer), the event-time
+        `_build_step` finds the prewarmed wrapper in the in-process memo
+        and installs it — every warmed scan-block executable carries over
+        (pinned in tests/test_compile_cache.py)."""
+        args = self.args
+        if (
+            not getattr(args, "prewarm_events", 0)
+            or self._sample_parallel
+            or args.subsystem != "triplane"
+        ):
+            return
+        t = getattr(self, "_prewarm_upsample_thread", None)
+        if t is not None and t.is_alive():
+            return
+        import threading
+
+        param_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params
+        )
+        self._prewarm_upsample_thread = threading.Thread(
+            target=self._prewarm_upsample_worker,
+            args=(param_shapes,),
+            daemon=True,
+            name="ngf-upsample-prewarm",
+        )
+        self._prewarm_upsample_thread.start()
+
+    def _prewarm_upsample_worker(self, param_shapes):
+        """Best-effort and state-free, like _prewarm_worker: failures or a
+        wrong prediction just mean the upsample compiles cold, as before."""
+        try:
+            pred = self._predict_upsample_rcfg()
+            if pred is None:
+                return
+            nxt, reso, rcfg = pred
+            params_up = jax.eval_shape(
+                lambda p: upsample_planes(p, reso), param_shapes
+            )
+            opt_shapes = jax.eval_shape(self.optimizer.init, params_up)
+            fn = self._build_step(rcfg=rcfg, has_alpha=True, install=False)
+            B = self.args.batch_size
+            grid = self.alpha
+            for T in sorted(self._stage_block_sizes(nxt)):
+                p0 = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), params_up
+                )
+                o0 = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), opt_shapes
+                )
+                out = fn(
+                    p0, o0,
+                    jnp.zeros((T, B, 6), jnp.float32),
+                    jnp.zeros((T, B, 3), jnp.float32),
+                    jax.random.split(jax.random.PRNGKey(0), T),
+                    jnp.zeros((T,), jnp.int32), jnp.float32(0.0),
+                    grid.volume, grid.aabb, grid.table,
+                )
+                # Host readback: actually wait for the program (CLAUDE.md).
+                float(out[2][-1])
+        except Exception as e:  # pragma: no cover - best-effort by design
+            print(f"[trainer] upsample-stage prewarm skipped: {e}")
+
+    def _stage_block_sizes(
+        self, start: int, stop: int | None = None, *, ordered: bool = False
+    ) -> set[int] | list[int]:
         """Scan-block sizes (`train_block` T values) the run loop will use
         from iteration ``start`` to ``stop`` (default: end of training):
         ``steps_per_call`` plus every boundary remainder (events / vis /
@@ -649,7 +793,7 @@ class TriPlaneTrainer:
                 ]
             )
         )
-        sizes: set[int] = set()
+        order: list[int] = []
         it = start
         end = args.n_iters if stop is None else min(stop, args.n_iters)
         while it < end:
@@ -661,9 +805,9 @@ class TriPlaneTrainer:
             target = min(min(b for b in boundaries if b > it), end)
             while it < target:
                 b = min(spc, target - it)
-                sizes.add(b)
+                order.append(b)
                 it += b
-        return sizes
+        return order if ordered else set(order)
 
     def make_forward_block(self):
         """Forward-only scan block (no grads/optimizer): the profiling probe
@@ -824,6 +968,9 @@ class TriPlaneTrainer:
                   f"(p99.9 occupied samples/ray)")
         self._update_auto_rgb_cap()
         self._build_step()
+        # TriPlane: the shrink above fixed the geometry the next upsample
+        # will install — warm its stage program while this stage trains.
+        self._start_upsample_prewarm()
 
     def _event_shrink(self, new_aabb: np.ndarray):
         """`TriPlane/models/Field.py:117-132` + init_para re-derivation.
@@ -877,6 +1024,8 @@ class TriPlaneTrainer:
                   f"(re-measured at upsampled step size)")
         self._update_auto_rgb_cap()
         self._build_step()
+        # Chain: warm the NEXT upsample's stage program (if predictable).
+        self._start_upsample_prewarm()
 
     # ------------------------------------------------------------------ train
 

@@ -269,3 +269,93 @@ class TestStageProgramIdentity:
         assert c_full.shape == (2048,) and c_empty.shape == (2048,)
         assert c_empty.sum() == 0
         assert c_full.max() > 0
+
+
+class TestUpsamplePrewarm:
+    """The TriPlane upsample event used to compile its stage program cold on
+    the main thread (measured multi-minute stalls at shrink@600/upsample@800
+    in the gauge E2E cert, NOTES.md). Everything that event installs becomes
+    knowable at the end of the shrink (`TriPlane/main.py:345-357` is a pure
+    function of the voxel schedule + final aabb + occupancy grid), so the
+    trainer predicts and background-warms it. These pin the prediction."""
+
+    def _trainer(self, datasets, **kw):
+        train_ds, test_ds = datasets
+        base = dict(
+            subsystem="triplane", gauge_start=8, n_iters=64,
+            update_AlphaMask_list=[16], upsamp_list=[32],
+            N_voxel_init=48 ** 3, N_voxel_final=96 ** 3,
+            sample_cap=-1, open_sample_cap=64, steps_per_call=8,
+            prewarm_events=0,  # drive the worker synchronously in tests
+        )
+        base.update(kw)
+        return TriPlaneTrainer(tiny_args(**base), train_ds, test_ds, None)
+
+    def test_optimizer_reset_keeps_function_and_version(self, datasets):
+        """An event reset re-creates a functionally identical optimizer
+        (same per-leaf LRs and schedule) — the trainer must keep the
+        optimizer OBJECT and `_opt_version`, or every program prewarmed
+        before the event dies on the version bump."""
+        t = self._trainer(datasets)
+        opt, ver, state = t.optimizer, t._opt_version, t.opt_state
+        t._make_optimizer(reset=True)
+        assert t.optimizer is opt
+        assert t._opt_version == ver
+        assert t.opt_state is not state  # the STATE did restart
+
+    def test_predicts_and_installs_the_event_program(self, datasets):
+        t = self._trainer(datasets)
+        for _ in range(2):
+            t.train_block(8)
+        t._event_update_alpha_mask(first=True)  # shrink @16
+        pred = t._predict_upsample_rcfg()
+        assert pred is not None
+        nxt, reso, rcfg_pred = pred
+        assert nxt == 32
+
+        param_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t.params
+        )
+        t._prewarm_upsample_worker(param_shapes)
+        fn_pred = t._step_jit_cache.get((rcfg_pred, True, t._opt_version))
+        assert fn_pred is not None
+        assert fn_pred is not t._step  # a future stage, not the current one
+
+        for _ in range(2):
+            t.train_block(8)
+        t._event_upsample()
+        # the prediction held exactly: the event installed the prewarmed
+        # wrapper itself, so every warmed scan-block executable carries over
+        assert t._render_cfg() == rcfg_pred
+        assert t._step is fn_pred
+        assert tuple(t.grid_size) == reso  # the predicted target resolution
+        t.train_block(8)  # and it trains
+
+    def test_declines_when_a_mask_event_intervenes(self, datasets):
+        """A mask event between now and the upsample rebuilds the occupancy
+        grid, changing the measured capacity — prediction must decline (the
+        reference lego schedule co-fires mask+upsample at 2000/2500, which
+        is exactly this case)."""
+        t = self._trainer(datasets, update_AlphaMask_list=[16, 32])
+        for _ in range(2):
+            t.train_block(8)
+        t._event_update_alpha_mask(first=True)
+        assert t._predict_upsample_rcfg() is None
+
+    def test_declines_event_measured_shading_cap(self, datasets):
+        t = self._trainer(datasets, rgb_cap=-2)
+        for _ in range(2):
+            t.train_block(8)
+        t._event_update_alpha_mask(first=True)
+        assert t._predict_upsample_rcfg() is None
+
+    def test_full_run_with_prewarm_thread(self, datasets):
+        """End-to-end: the hook spawns the worker at the shrink event and
+        the run completes through the upsample with the prewarmed program."""
+        t = self._trainer(datasets, prewarm_events=1, n_iters=48)
+        stats = t.run()
+        assert stats["iterations"] == 48
+        th = getattr(t, "_prewarm_upsample_thread", None)
+        assert th is not None
+        th.join(timeout=300)
+        assert not th.is_alive()
