@@ -21,7 +21,11 @@ import numpy as np
 
 def main(argv=None):
     from ngf_tpu.config import config_parser
+    from ngf_tpu.parallel.mesh import maybe_initialize_distributed
 
+    # Multi-host opt-in (NGF_COORDINATOR/NGF_DISTRIBUTED): must run before
+    # the first device query so jax.devices() spans the whole slice.
+    maybe_initialize_distributed()
     args = config_parser(argv)
     np.random.seed(args.seed)
 

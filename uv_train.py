@@ -103,7 +103,12 @@ def main(argv=None):
     import imageio.v2 as imageio
 
     from ngf_tpu.fields.neutex import NeuTexConfig
+    from ngf_tpu.parallel.mesh import maybe_initialize_distributed
     from ngf_tpu.train.uv_loop import UVTrainer
+
+    # Multi-host opt-in (NGF_COORDINATOR/NGF_DISTRIBUTED): before any
+    # device query so jax.devices() spans the whole slice.
+    maybe_initialize_distributed()
 
     opt = parse_args(argv)
     np.random.seed(opt.seed)
