@@ -11,7 +11,8 @@ Layout contract: plane (H, W, C) with H*W*C*itemsize <= ~12MB (fits VMEM:
 the 256x256x24 f32 density plane is 6.3MB; the 72-channel rgb plane in bf16
 is 9.4MB). Larger planes fall back to the XLA path.
 
-Status: correctness-tested in interpreter mode everywhere; guarded behind
+Status: correctness-tested in interpreter mode (tests/test_pallas_kernels.py
+pins parity vs grid_sample_2d + corner/padding goldens); guarded behind
 ``pallas_supported()`` for compiled use because Mosaic gather support varies
 by backend/jax version. Probed on the axon v5e backend (2026-08-16):
 ``jnp.take`` inside a kernel fails shape validation ("Shape mismatch in
