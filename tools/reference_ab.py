@@ -382,6 +382,13 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
     else:
         cmd += ["--gauge_start", str(a.gauge_start)]
     args = ref_main.config_parser(cmd)
+    # The reference seeds only under __main__ (`TriPlane/main.py:394-395`,
+    # same lines in InfoInv), which importlib bypasses — seed explicitly so
+    # seed replication (PARITY.md noise bands) is a controlled experiment.
+    import torch
+
+    torch.manual_seed(a.seed)
+    np.random.seed(a.seed)
     t0 = time.time()
     ref_main.train(args)
     print(f"[ref] train+eval done in {time.time()-t0:.0f}s")
@@ -428,6 +435,7 @@ def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         "--rgb_cap", "0",
         "--fused_fetch", "1",
         "--steps_per_call", "8",
+        "--seed", str(a.seed),
     ] + (a.ours_extra.split() if a.ours_extra else [])
     t0 = time.time()
     subprocess.run(cmd, check=True, env=env, cwd=REPO)
@@ -481,6 +489,10 @@ def main() -> None:
                    help="triplane: upsample event iteration (0 = never); "
                         "co-schedule with --alpha-at to mirror the "
                         "reference lego schedule")
+    p.add_argument("--seed", type=int, default=20211202,
+                   help="training seed for BOTH sides (the exported scene "
+                        "is deterministic, so runs with different seeds "
+                        "share it); used for seed-replicated noise bands")
     p.add_argument("--ours-extra", default="",
                    help="extra CLI flags appended to our main.py run "
                         "(diagnostics, e.g. '--sample_cap 0 --rgb_cap 0')")
