@@ -71,7 +71,16 @@ def run_train(args):
         mesh = make_mesh_2d(d, s) if d * s > 1 else None
     else:
         mesh = make_mesh() if len(jax.devices()) > 1 else None
-    trainer = TriPlaneTrainer(args, train_dataset, test_dataset, logfolder, mesh=mesh)
+    if args.ckpt:
+        # --ckpt without --render_only: RESUME training from the checkpoint
+        # (failure recovery for multi-hour runs; the reference restarts from
+        # scratch — `InfoInv/main.py:191` has no resume path).
+        trainer = TriPlaneTrainer.from_checkpoint(
+            args.ckpt, args, train_dataset, test_dataset, logfolder, mesh=mesh
+        )
+        print(f"[trainer] resumed from {args.ckpt} at iteration {trainer.iteration}")
+    else:
+        trainer = TriPlaneTrainer(args, train_dataset, test_dataset, logfolder, mesh=mesh)
     stats = trainer.run()
     print(f"training done: {stats}")
 

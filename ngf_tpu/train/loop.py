@@ -90,6 +90,7 @@ class TriPlaneTrainer:
         mesh=None,
         init_params=None,
         init_alpha: AlphaGrid | None = None,
+        resume_state: dict | None = None,
     ):
         self.args = args
         self.train_dataset = train_dataset
@@ -135,8 +136,38 @@ class TriPlaneTrainer:
         self._rgb_stat = 0
         self._auto_rgb_cap = 0
         self.iteration = 0
+        self._sampler_birth = 0  # iteration the current sampler was created
 
         self.n_voxel_list = self._voxel_schedule()
+
+        rs = resume_state or {}
+        if rs:
+            # Mid-run restore (TriPlaneTrainer.from_checkpoint): override the
+            # fresh-start geometry/schedule state with the checkpointed one.
+            # The reference has no training resume at all (a killed
+            # `InfoInv/main.py:191` run restarts from iteration 0); this is
+            # the failure-recovery path for multi-hour runs.
+            meta, extra = rs["meta"], rs["extra"]
+            r = meta["resume"]
+            self.iteration = int(meta["iteration"])
+            self.aabb = np.asarray(meta["aabb"], np.float32)
+            self.grid_size = [int(v) for v in meta["grid_size"]]
+            self.reso_cur = list(self.grid_size)
+            self.step_size = float(meta["step_size"])
+            self.n_samples = int(meta["n_samples"])
+            self.l1_weight = float(r["l1_weight"])
+            self._rgb_stat = int(r["rgb_stat"])
+            self._auto_rgb_cap = int(r["auto_rgb_cap"])
+            if r.get("auto_cap") is not None:
+                self._auto_cap = int(r["auto_cap"])
+            self.n_voxel_list = [int(v) for v in r["n_voxel_list"]]
+            self._sampler_birth = int(r["sampler_birth"])
+            self.key = jnp.asarray(extra["key"], jnp.uint32)
+            if rs.get("alpha_volume") is not None:
+                self.alpha = AlphaGrid(
+                    volume=jnp.asarray(rs["alpha_volume"], jnp.float32),
+                    aabb=jnp.asarray(rs["alpha_aabb"], jnp.float32),
+                ).build_table()
 
         # Stage-step jit memo: events whose static render config is unchanged
         # (every InfoInv mask event after the first) reuse the SAME jit
@@ -148,13 +179,53 @@ class TriPlaneTrainer:
         # Ray pre-filter (bbox) before training (`InfoInv/main.py:252`).
         self.all_rays = np.asarray(train_dataset.all_rays, np.float32)
         self.all_rgbs = np.asarray(train_dataset.all_rgbs, np.float32)
-        if args.filter_rays:
+        # _ray_ids: indices into the dataset's original ray order surviving
+        # every filter so far (bbox now, alpha at the first mask event) —
+        # checkpointed so resume restores the exact training set instead of
+        # re-running the filters against possibly-evolved state.
+        self._ray_ids = np.arange(self.all_rays.shape[0], dtype=np.int64)
+        if rs:
+            self._ray_ids = np.asarray(rs["extra"]["ray_ids"], np.int64)
+            self.all_rays = self.all_rays[self._ray_ids]
+            self.all_rgbs = self.all_rgbs[self._ray_ids]
+        elif args.filter_rays:
             keep = filter_rays_bbox(self.all_rays, self.aabb)
             self.all_rays, self.all_rgbs = self.all_rays[keep], self.all_rgbs[keep]
+            self._ray_ids = self._ray_ids[keep]
         self.sampler = SimpleSampler(self.all_rays.shape[0], args.batch_size, args.seed)
+        if rs:
+            # Fast-forward the epoch-permutation stream to the number of
+            # batches TRAINING has consumed since this sampler's creation
+            # (prefetch lookahead draws are deliberately not counted: they
+            # were never trained on, and the resumed prefetcher re-draws
+            # them from the identical stream position).
+            for _ in range(self.iteration - self._sampler_birth):
+                self.sampler.nextids()
 
         self._make_optimizer(reset=True)
+        if rs:
+            leaves = [
+                rs["extra"][f"opt/{i:04d}"]
+                for i in range(len(jax.tree.leaves(self.opt_state)))
+            ]
+            treedef = jax.tree.structure(self.opt_state)
+            ref_leaves = jax.tree.leaves(self.opt_state)
+            for got, want in zip(leaves, ref_leaves):
+                if got.shape != want.shape:
+                    raise ValueError(
+                        f"resume optimizer state mismatch: {got.shape} vs "
+                        f"{want.shape} — config/schedule differs from the "
+                        "checkpointed run"
+                    )
+            self.opt_state = jax.tree.unflatten(
+                treedef,
+                [jnp.asarray(l, dtype=w.dtype) for l, w in zip(leaves, ref_leaves)],
+            )
         self._build_step()
+        if rs:
+            # Same post-stage hook the events run: background-warm the next
+            # upsample's stage program when it is already predictable.
+            self._start_upsample_prewarm()
 
     # ------------------------------------------------------------------ setup
 
@@ -949,9 +1020,11 @@ class TriPlaneTrainer:
             )
             if keep.any():
                 self.all_rays, self.all_rgbs = self.all_rays[keep], self.all_rgbs[keep]
+                self._ray_ids = self._ray_ids[keep]
                 self.sampler = SimpleSampler(
                     self.all_rays.shape[0], self.args.batch_size, self.args.seed
                 )
+                self._sampler_birth = self.iteration
             else:
                 # Degenerate occupancy (e.g. mask update before any geometry
                 # emerged) — keep the training set instead of starving.
@@ -1108,7 +1181,11 @@ class TriPlaneTrainer:
         psnrs_test = [0.0]
         mses_accum: list[float] = []
         t0 = time.time()
-        first_mask_done = False
+        # An existing occupancy grid means the first mask event already ran
+        # (this process or, via from_checkpoint, a previous one) — later
+        # events must not re-run the first-event specials (ray refilter,
+        # L1 drop, shrink).
+        first_mask_done = self.alpha is not None
         # Seed the remote compile cache with the first event's programs while
         # the open stage trains (no-op when disabled / already masked).
         self._start_event_prewarm()
@@ -1230,11 +1307,83 @@ class TriPlaneTrainer:
             "n_samples": self.n_samples,
             "near_far": [float(v) for v in self.train_dataset.near_far],
             "iteration": self.iteration,
+            # Training-resume state beyond the reference checkpoint
+            # contract (`FieldBase.py:94-116` saves kwargs+state_dict only;
+            # the reference cannot resume a killed run). Optimizer moments
+            # / kept-ray ids / PRNG key ride as `extra/` arrays.
+            "resume": {
+                "l1_weight": float(self.l1_weight),
+                "auto_cap": int(self._auto_cap)
+                if hasattr(self, "_auto_cap")
+                else None,
+                "rgb_stat": int(self._rgb_stat),
+                "auto_rgb_cap": int(self._auto_rgb_cap),
+                "n_voxel_list": list(self.n_voxel_list),
+                "sampler_birth": int(self._sampler_birth),
+            },
         }
+        extra = {
+            f"opt/{i:04d}": leaf
+            for i, leaf in enumerate(jax.tree.leaves(self.opt_state))
+        }
+        extra["key"] = np.asarray(self.key)
+        extra["ray_ids"] = self._ray_ids.astype(np.int64)
         save_checkpoint(
             path,
             self.params,
             meta=meta,
             alpha_volume=None if self.alpha is None else np.asarray(self.alpha.volume),
             alpha_aabb=None if self.alpha is None else np.asarray(self.alpha.aabb),
+            extra_arrays=extra,
+        )
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        path: str,
+        args: TrainArgs,
+        train_dataset: RayDataset,
+        test_dataset: RayDataset | None = None,
+        logfolder: str | None = None,
+        mesh=None,
+    ) -> "TriPlaneTrainer":
+        """Resume TRAINING from a checkpoint written by :meth:`save`.
+
+        Restores params, optimizer moments + LR-schedule position, the
+        occupancy grid, the filtered training-ray set, the PRNG key, and
+        the sampler's epoch-stream position — the resumed process continues
+        the interrupted run's iteration sequence exactly (stage programs
+        are re-lowered byte-identical, so warm-cache compiles are ~30 s).
+        Requires the same config the run was launched with; checkpoints
+        written before resume support (no `extra/` arrays) are rejected.
+        """
+        from ..utils.checkpoint import load_checkpoint, load_extra_arrays
+
+        params, meta, alpha_volume, alpha_aabb = load_checkpoint(path)
+        extra = load_extra_arrays(path)
+        if "resume" not in meta or "key" not in extra:
+            raise ValueError(
+                f"{path} has no training-resume state (params-only "
+                "checkpoint) — re-save with the current trainer or use "
+                "--render_only"
+            )
+        if meta["subsystem"] != args.subsystem:
+            raise ValueError(
+                f"checkpoint subsystem {meta['subsystem']!r} != configured "
+                f"{args.subsystem!r}"
+            )
+        params = jax.tree.map(jnp.asarray, params)
+        return cls(
+            args,
+            train_dataset,
+            test_dataset,
+            logfolder,
+            mesh=mesh,
+            init_params=params,
+            resume_state={
+                "meta": meta,
+                "extra": extra,
+                "alpha_volume": alpha_volume,
+                "alpha_aabb": alpha_aabb,
+            },
         )

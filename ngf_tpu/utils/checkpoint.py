@@ -51,7 +51,7 @@ def _unflatten(flat: dict[str, np.ndarray]) -> Any:
     return listify(root)
 
 
-def _pack(params, meta, alpha_volume, alpha_aabb):
+def _pack(params, meta, alpha_volume, alpha_aabb, extra_arrays=None):
     arrays = {f"param/{k}": v for k, v in _flatten(jax.device_get(params)).items()}
     blob = dict(meta or {})
     if alpha_volume is not None:
@@ -59,6 +59,8 @@ def _pack(params, meta, alpha_volume, alpha_aabb):
         arrays["alphaMask/mask"] = np.packbits(vol.reshape(-1))
         arrays["alphaMask/aabb"] = np.asarray(alpha_aabb, np.float32)
         blob["alphaMask.shape"] = list(vol.shape)
+    for k, v in (extra_arrays or {}).items():
+        arrays[f"extra/{k}"] = np.asarray(jax.device_get(v))
     arrays["meta"] = np.frombuffer(json.dumps(blob).encode(), dtype=np.uint8)
     return arrays
 
@@ -70,6 +72,7 @@ def save_checkpoint(
     alpha_volume: np.ndarray | None = None,
     alpha_aabb: np.ndarray | None = None,
     backend: str = "npz",
+    extra_arrays: dict[str, np.ndarray] | None = None,
 ) -> None:
     """Write params (+ optional binary occupancy volume) to ``path``.
 
@@ -78,8 +81,16 @@ def save_checkpoint(
     the production-scale option (async-capable, multi-host sharded
     restore); same logical content, so either backend round-trips through
     :func:`load_checkpoint` (which dispatches on file-vs-directory).
+
+    ``extra_arrays`` (stored under an ``extra/`` prefix) carries state
+    beyond the reference checkpoint contract — optimizer moments, sampler
+    position, kept-ray ids — enabling exact TRAINING resume
+    (:func:`load_extra_arrays`). The reference has no training resume at
+    all (a killed `InfoInv/main.py` run restarts from scratch); plain
+    :func:`load_checkpoint` consumers ignore the prefix, so checkpoints
+    stay loadable by render-only / the importer either way.
     """
-    arrays = _pack(params, meta, alpha_volume, alpha_aabb)
+    arrays = _pack(params, meta, alpha_volume, alpha_aabb, extra_arrays)
     if backend == "orbax":
         import os
 
@@ -120,3 +131,20 @@ def load_checkpoint(path: str):
         {k[len("param/") :]: v for k, v in arrays.items() if k.startswith("param/")}
     )
     return params, meta, alpha_volume, alpha_aabb
+
+
+def load_extra_arrays(path: str) -> dict[str, np.ndarray]:
+    """Read the ``extra/`` arrays (training-resume state) from a
+    checkpoint; empty dict when the checkpoint predates them or was saved
+    without resume state."""
+    import os
+
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        items = {k: np.asarray(v) for k, v in restored.items()}
+    else:
+        with np.load(path) as z:
+            items = {k: z[k] for k in z.files if k.startswith("extra/")}
+    return {k[len("extra/") :]: v for k, v in items.items() if k.startswith("extra/")}
