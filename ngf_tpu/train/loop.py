@@ -1186,11 +1186,31 @@ class TriPlaneTrainer:
         # events must not re-run the first-event specials (ray refilter,
         # L1 drop, shrink).
         first_mask_done = self.alpha is not None
+        # Graceful preemption: SIGTERM (preempted TPU slice, scheduler
+        # shutdown) sets a flag; the loop drains the current scan block,
+        # writes a RESUMABLE checkpoint at the exact iteration, and exits
+        # cleanly — releasing the device lease instead of wedging it. The
+        # handler only installs from the main thread (signal.signal raises
+        # elsewhere) and is restored on exit.
+        self._stop_requested = False
+        prev_term = None
+        if self.logfolder:
+            import signal as _signal
+
+            def _on_term(signum, frame):
+                self._stop_requested = True
+                print("[trainer] SIGTERM: will checkpoint and exit at the "
+                      "next block boundary", flush=True)
+
+            try:
+                prev_term = _signal.signal(_signal.SIGTERM, _on_term)
+            except ValueError:  # not the main thread
+                prev_term = None
         # Seed the remote compile cache with the first event's programs while
         # the open stage trains (no-op when disabled / already masked).
         self._start_event_prewarm()
 
-        while self.iteration < args.n_iters:
+        while self.iteration < args.n_iters and not self._stop_requested:
             # run until the next boundary (event / vis / save / end)
             boundaries = [args.n_iters]
             boundaries += [e for e in events if e > self.iteration]
@@ -1209,7 +1229,7 @@ class TriPlaneTrainer:
                 boundaries.append(nxt)
             target = min(b for b in boundaries if b > self.iteration)
 
-            while self.iteration < target:
+            while self.iteration < target and not self._stop_requested:
                 block = min(max(1, args.steps_per_call), target - self.iteration)
                 mses = self.train_block(block)
                 mses_accum.extend(mses.tolist())
@@ -1259,13 +1279,22 @@ class TriPlaneTrainer:
                 self.save(os.path.join(self.logfolder, "model.npz"))
 
         wall = time.time() - t0
+        if prev_term is not None:
+            import signal as _signal
+
+            _signal.signal(_signal.SIGTERM, prev_term)
         if self.logfolder:
             self.save(os.path.join(self.logfolder, "model.npz"))
+            if self._stop_requested:
+                print(f"[trainer] preempted at iteration {self.iteration}; "
+                      f"resumable checkpoint written to "
+                      f"{os.path.join(self.logfolder, 'model.npz')}", flush=True)
         return {
             "iterations": self.iteration,
             "wall_time_s": wall,
             "final_train_mse": mses_accum[-1] if mses_accum else None,
             "rays_per_sec": args.batch_size * self.iteration / max(wall, 1e-9),
+            "preempted": bool(self._stop_requested),
         }
 
     def export_mesh(self, path: str, grid_size: int = 256, level: float = 0.005):

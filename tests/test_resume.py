@@ -137,6 +137,45 @@ class TestResumeEquivalence:
             np.testing.assert_array_equal(a, b)
 
 
+class TestGracefulPreemption:
+    def test_sigterm_checkpoints_and_resumes(self, datasets, tmp_path):
+        # A real SIGTERM mid-run (preempted TPU slice): the loop must drain
+        # the current block, write a RESUMABLE checkpoint at the exact
+        # iteration, and exit cleanly — then a fresh trainer finishes the
+        # schedule from it, mid-target remainder blocks and all.
+        import signal
+
+        train_ds, test_ds = datasets
+        args = resume_args(n_iters=160, save_every=0, update_AlphaMask_list=[64])
+        d = os.path.join(str(tmp_path), "preempt")
+        trainer = TriPlaneTrainer(args, train_ds, test_ds, d)
+
+        fired = []
+
+        def cb(iteration, mse):
+            # 100 is mid-target (not a boundary: spc=8, next boundary 160).
+            if iteration >= 100 and not fired:
+                fired.append(iteration)
+                os.kill(os.getpid(), signal.SIGTERM)
+
+        stats = trainer.run(progress_cb=cb)
+        assert stats["preempted"] is True
+        assert fired[0] <= stats["iterations"] < args.n_iters
+        # Handler restored: a later SIGTERM must not be swallowed silently.
+        assert signal.getsignal(signal.SIGTERM) != trainer.run
+
+        ckpt = os.path.join(d, "model.npz")
+        resumed = TriPlaneTrainer.from_checkpoint(
+            ckpt, args, train_ds, test_ds, os.path.join(str(tmp_path), "pre2")
+        )
+        assert resumed.iteration == stats["iterations"]
+        out = resumed.run()
+        assert out["preempted"] is False
+        assert out["iterations"] == args.n_iters
+        # The resumed half actually trained (alpha stage, post-event).
+        assert resumed.alpha is not None
+
+
 class TestResumeGuards:
     def test_params_only_checkpoint_rejected(self, datasets, tmp_path):
         train_ds, test_ds = datasets
