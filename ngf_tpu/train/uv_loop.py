@@ -324,16 +324,30 @@ class UVTrainer:
     # ----------------------------------------------------------- checkpoints
 
     def save_networks(self, epoch: str | int, other_states: dict | None = None):
-        """Whole-model + per-subnetwork files (`model.py:199-213,375-381`)."""
+        """Whole-model + per-subnetwork files (`model.py:199-213,375-381`).
+
+        The whole-model file additionally carries optimizer moments, the
+        PRNG key and the plateau-LR state as ``extra/`` arrays — the
+        reference's continue_train restores network weights only
+        (`model.py:175-197`), losing Adam state on every resume; ours
+        restores the full training state when present.
+        """
         assert self.save_dir is not None
         os.makedirs(self.save_dir, exist_ok=True)
         meta = {
             "cfg": self.cfg.__dict__,
             "step": self.step_count,
+            "plateau": getattr(self, "_plateau", None),
             **(other_states or {}),
         }
+        extra = {
+            f"opt/{i:04d}": leaf
+            for i, leaf in enumerate(jax.tree.leaves(self.opt_state))
+        }
+        extra["key"] = np.asarray(self.key)
         save_checkpoint(
-            os.path.join(self.save_dir, f"{epoch}_net_NeuTex.npz"), self.params, meta
+            os.path.join(self.save_dir, f"{epoch}_net_NeuTex.npz"),
+            self.params, meta, extra_arrays=extra,
         )
         for friendly, name in SUBNETWORKS.items():
             save_checkpoint(
@@ -349,6 +363,22 @@ class UVTrainer:
         params, meta, _, _ = load_checkpoint(path)
         self.params = jax.tree.map(jnp.asarray, params)
         self.step_count = int(meta.get("step", 0))
+        from ..utils.checkpoint import load_extra_arrays
+
+        extra = load_extra_arrays(path)
+        ref_leaves = jax.tree.leaves(self.opt_state)
+        opt_leaves = [extra.get(f"opt/{i:04d}") for i in range(len(ref_leaves))]
+        if all(l is not None for l in opt_leaves) and all(
+            l.shape == w.shape for l, w in zip(opt_leaves, ref_leaves)
+        ):
+            self.opt_state = jax.tree.unflatten(
+                jax.tree.structure(self.opt_state),
+                [jnp.asarray(l, w.dtype) for l, w in zip(opt_leaves, ref_leaves)],
+            )
+        if "key" in extra:
+            self.key = jnp.asarray(extra["key"], jnp.uint32)
+        if meta.get("plateau") and hasattr(self, "_plateau"):
+            self._plateau = dict(meta["plateau"])
         return meta
 
     def load_subnetworks(

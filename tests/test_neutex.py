@@ -271,6 +271,13 @@ class TestUVTraining:
             np.asarray(t1.params["gauge_network"]["layers"][0]["w"]),
             np.asarray(t2.params["gauge_network"]["layers"][0]["w"]),
         )
+        # Full-fidelity resume: optimizer moments + PRNG key restored (the
+        # reference's continue_train reloads nets only, model.py:175-197).
+        import jax as _jax
+
+        for a, b in zip(_jax.tree.leaves(t1.opt_state), _jax.tree.leaves(t2.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(t1.key), np.asarray(t2.key))
         # partial subnetwork load
         t3 = UVTrainer(cfg, dataset, save_dir=str(tmp_path), seed=2)
         before = np.asarray(t3.params["net_texture"]["color1"]["w"]).copy()

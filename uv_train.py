@@ -170,8 +170,27 @@ def main(argv=None):
     n_acc = 0
     t0 = time.time()
 
+    # Graceful preemption (same contract as the TriPlane trainer,
+    # ngf_tpu/train/loop.py): SIGTERM drains the current block, saves the
+    # 'latest' networks, and exits cleanly; `--resume_dir <save_dir>`
+    # continues. The reference's slurm jobs have no such path — a preempted
+    # dtu_train.sh loses everything since the last save_iter_freq save.
+    import signal as _signal
+
+    _stop = {"v": False}
+
+    def _on_term(signum, frame):
+        _stop["v"] = True
+        print("[uv_train] SIGTERM: will save 'latest' and exit at the next "
+              "block boundary", flush=True)
+
+    try:
+        _prev_term = _signal.signal(_signal.SIGTERM, _on_term)
+    except ValueError:  # not the main thread
+        _prev_term = None
+
     end_step = opt.niter + opt.niter_decay
-    while total_steps < end_step:
+    while total_steps < end_step and not _stop["v"]:
         # Fuse steps up to the next print/test/save boundary into one device
         # call (each distinct block size is its own compile; with freqs that
         # are multiples of steps_per_call there is exactly one).
@@ -199,7 +218,7 @@ def main(argv=None):
         for k, v in losses.items():
             acc[k] = acc.get(k, 0.0) + float(v.sum())
 
-        if total_steps % opt.print_freq == 0:
+        if opt.print_freq > 0 and total_steps % opt.print_freq == 0:
             msg = (
                 f"End of iteration {total_steps} \t Number of batches {n_acc} "
                 f"\t Time taken: {time.time() - t0:.2f}s\n[Average Loss] "
@@ -227,12 +246,18 @@ def main(argv=None):
                 imageio.imwrite(out, (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
             print(f"test renders written at step {total_steps}")
 
-        if total_steps % opt.save_iter_freq == 0:
+        if opt.save_iter_freq > 0 and total_steps % opt.save_iter_freq == 0:
             trainer.save_networks(total_steps, {"total_steps": total_steps})
             trainer.save_networks("latest", {"total_steps": total_steps})
 
+    if _prev_term is not None:
+        _signal.signal(_signal.SIGTERM, _prev_term)
     trainer.save_networks("latest", {"total_steps": total_steps})
-    print("training finished")
+    if _stop["v"]:
+        print(f"preempted at step {total_steps}; 'latest' networks saved "
+              f"(resume with --resume_dir {save_dir})")
+    else:
+        print("training finished")
 
 
 if __name__ == "__main__":
