@@ -44,14 +44,16 @@ CONFIGS = {
 }
 
 
-def run_one(out_root: str, cfg: str, seed: int) -> dict | None:
+def run_one(out_root: str, cfg: str, seed: int,
+            ours_device: str = "cpu") -> dict | None:
     out = os.path.join(out_root, f"{cfg}_s{seed}")
     result = os.path.join(out, "log", "ab_result.json")
     if os.path.exists(result):
         with open(result) as f:
             return json.load(f)
     cmd = [sys.executable, os.path.join(REPO, "tools", "reference_ab.py"),
-           "--out", out, "--seed", str(seed)] + CONFIGS[cfg]
+           "--out", out, "--seed", str(seed),
+           "--ours-device", ours_device] + CONFIGS[cfg]
     t0 = time.time()
     print(f"[sweep] {cfg} seed={seed} ...", flush=True)
     rc = subprocess.run(cmd, cwd=REPO).returncode
@@ -78,6 +80,11 @@ def main() -> None:
                    choices=sorted(CONFIGS))
     p.add_argument("--report-only", action="store_true",
                    help="summarize existing results without launching runs")
+    p.add_argument("--ours-device", default="cpu", choices=["cpu", "tpu"],
+                   dest="ours_device",
+                   help="passed through to reference_ab.py (keep one device "
+                        "per config so each noise band is methodologically "
+                        "uniform)")
     a = p.parse_args()
     os.makedirs(a.out, exist_ok=True)
 
@@ -93,7 +100,7 @@ def main() -> None:
                 with open(path) as f:
                     rows.append((seed, json.load(f)))
             else:
-                r = run_one(a.out, cfg, seed)
+                r = run_one(a.out, cfg, seed, a.ours_device)
                 if r is not None:
                     rows.append((seed, r))
         if not rows:

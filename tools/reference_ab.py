@@ -399,7 +399,11 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
 # ----------------------------------------------------------------------- ours
 
 def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    if getattr(a, "ours_device", "cpu") == "tpu":
+        env = dict(os.environ)  # inherit the axon TPU registration
+        env.pop("JAX_PLATFORMS", None)
+    else:
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     ds = _downsample_for(a)
     cmd = [
         sys.executable, os.path.join(REPO, "main.py"),
@@ -496,6 +500,14 @@ def main() -> None:
     p.add_argument("--ours-extra", default="",
                    help="extra CLI flags appended to our main.py run "
                         "(diagnostics, e.g. '--sample_cap 0 --rgb_cap 0')")
+    p.add_argument("--ours-device", default="cpu", choices=["cpu", "tpu"],
+                   dest="ours_device",
+                   help="backend for OUR side (the torch reference always "
+                        "runs CPU here). 'tpu' uses the shipped production "
+                        "platform — minutes instead of an hour per run at "
+                        "these scales once programs are service-cached; "
+                        "PSNR is platform-robust (f32 semantics match; "
+                        "keep one device per config for clean noise bands)")
     a = p.parse_args()
 
     scene = os.path.join(a.out, "scene")
