@@ -26,8 +26,15 @@ PSNR_RE = re.compile(r"======> (ref|ours) test all psnr: ([0-9.]+)")
 def last_psnr(path: Path, side: str) -> float | None:
     if not path.exists():
         return None
+    text = path.read_text(errors="replace")
+    if "'preempted': True" in text:
+        # A graceful SIGTERM preemption still evaluates and prints a final
+        # PSNR — from a PARTIALLY TRAINED model. Never a valid sweep cell
+        # (round-4 restarts left two such cells: c4_s0 @300/600, c4_s2
+        # @8/600); the cell must be rerun.
+        return None
     val = None
-    for line in path.read_text(errors="replace").splitlines():
+    for line in text.splitlines():
         m = PSNR_RE.search(line)
         if m and m.group(1) == side:
             val = float(m.group(2))
