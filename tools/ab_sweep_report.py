@@ -53,8 +53,26 @@ def recovered_psnr(cell: Path, side: str) -> float | None:
     return json.loads(f.read_text()).get(f"{side}_psnr_db")
 
 
+# PARITY.md / BASELINE.json config numbering (tools/ab_seed_sweep.py)
+CONFIG_NAMES = {
+    "2": "InfoInv encoding (control)",
+    "3": "TriPlane, gauge disabled (gauge_start > iters)",
+    "4": "TriPlane, learned gauge (gauge_start 400)",
+}
+
+
+def _stats(vals: list[float]) -> tuple[float, float | None]:
+    mean = sum(vals) / len(vals)
+    if len(vals) < 2:
+        return mean, None
+    var = sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+    return mean, math.sqrt(var)
+
+
 def main() -> None:
-    root = Path(sys.argv[1] if len(sys.argv) > 1 else "results/ab_sweep_r4")
+    argv = [a for a in sys.argv[1:] if a != "--json"]
+    write_json = "--json" in sys.argv
+    root = Path(argv[0] if argv else "results/ab_sweep_r4")
     cells: dict[str, dict[int, tuple[float | None, float | None]]] = {}
     for d in sorted(root.iterdir()):
         m = re.fullmatch(r"c(\d+)_s(\d+)", d.name)
@@ -68,27 +86,65 @@ def main() -> None:
         if ours is None:
             ours = recovered_psnr(d, "ours")
         cells.setdefault(cfg, {})[seed] = (ref, ours)
+    summary: dict[str, dict] = {}
     for cfg in sorted(cells):
-        print(f"config #{cfg}:")
-        gaps = []
+        print(f"config #{cfg}: {CONFIG_NAMES.get(cfg, '?')}")
+        gaps, refs, ourss = [], [], []
         for seed in sorted(cells[cfg]):
             ref, ours = cells[cfg][seed]
             gap = None if ref is None or ours is None else ours - ref
             if gap is not None:
                 gaps.append(gap)
+            if ref is not None:
+                refs.append(ref)
+            if ours is not None:
+                ourss.append(ours)
             fmt = lambda v: "   --" if v is None else f"{v:5.2f}"
             print(
                 f"  seed {seed}: ref {fmt(ref)}  ours {fmt(ours)}"
                 f"  gap {fmt(gap)}"
             )
-        if len(gaps) >= 2:
-            mean = sum(gaps) / len(gaps)
-            var = sum((g - mean) ** 2 for g in gaps) / (len(gaps) - 1)
-            print(
-                f"  gap mean {mean:+.2f} dB, sample std {math.sqrt(var):.2f} dB"
-                f" (n={len(gaps)})"
-            )
+        row: dict = {"name": CONFIG_NAMES.get(cfg, "?"),
+                     "cells": {s: {"ref": r, "ours": o}
+                               for s, (r, o) in sorted(cells[cfg].items())}}
+        if gaps:
+            gm, gs = _stats(gaps)
+            rm, rs = _stats(refs)
+            om, os_ = _stats(ourss)
+            row.update(gap_mean_db=round(gm, 2),
+                       gap_std_db=None if gs is None else round(gs, 2),
+                       n=len(gaps),
+                       ref_mean_db=round(rm, 2),
+                       ref_std_db=None if rs is None else round(rs, 2),
+                       ours_mean_db=round(om, 2),
+                       ours_std_db=None if os_ is None else round(os_, 2))
+            if gs is not None:
+                print(
+                    f"  gap mean {gm:+.2f} dB, sample std {gs:.2f} dB"
+                    f" (n={len(gaps)});  per-side seed std:"
+                    f" ref {rs:.2f}, ours {os_:.2f}"
+                )
+        summary[cfg] = row
         print()
+    # Markdown table for PARITY.md
+    print("| config | ref mean±σ | ours mean±σ | gap mean±σ (n) |")
+    print("|---|---|---|---|")
+    for cfg, row in summary.items():
+        if "gap_mean_db" not in row or row.get("gap_std_db") is None:
+            continue
+        print(
+            f"| #{cfg} {row['name']} "
+            f"| {row['ref_mean_db']:.2f} ± {row['ref_std_db']:.2f} "
+            f"| {row['ours_mean_db']:.2f} ± {row['ours_std_db']:.2f} "
+            f"| **{row['gap_mean_db']:+.2f} ± {row['gap_std_db']:.2f}**"
+            f" (n={row['n']}) |"
+        )
+    if write_json:
+        import json
+
+        out = root / "BANDS.json"
+        out.write_text(json.dumps(summary, indent=1))
+        print(f"\nwrote {out}")
 
 
 if __name__ == "__main__":
