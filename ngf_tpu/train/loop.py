@@ -137,6 +137,9 @@ class TriPlaneTrainer:
         self._auto_rgb_cap = 0
         self.iteration = 0
         self._sampler_birth = 0  # iteration the current sampler was created
+        from ..utils.checkpoint import AsyncCheckpointWriter
+
+        self._ckpt_writer = AsyncCheckpointWriter()
 
         self.n_voxel_list = self._voxel_schedule()
 
@@ -1275,8 +1278,14 @@ class TriPlaneTrainer:
                 first_mask_done = True
             if args.subsystem == "triplane" and it in (args.upsamp_list or []):
                 self._event_upsample()
-            if args.save_every > 0 and it % args.save_every == 0 and it > 0 and self.logfolder:
-                self.save(os.path.join(self.logfolder, "model.npz"))
+            # it == n_iters is covered by the final synchronous save below —
+            # skip the redundant periodic (background) write there.
+            if args.save_every > 0 and it % args.save_every == 0 and 0 < it < args.n_iters and self.logfolder:
+                blocked = self.save(
+                    os.path.join(self.logfolder, "model.npz"), background=True
+                )
+                if scalars is not None:
+                    scalars.write(it, {"ckpt/blocked_s": round(blocked, 3)})
 
         wall = time.time() - t0
         if prev_term is not None:
@@ -1326,7 +1335,20 @@ class TriPlaneTrainer:
         alpha = np.concatenate(chunks).reshape(grid_size, grid_size, grid_size)
         convert_density_to_ply(alpha, path, self.aabb, level=level)
 
-    def save(self, path: str):
+    def save(self, path: str, background: bool = False) -> float:
+        """Write a resumable checkpoint; returns the seconds the TRAINING
+        thread was blocked.
+
+        ``background=True`` (periodic ``save_every`` saves): only the state
+        snapshot (device_get + flatten) blocks; npz serialization + disk
+        happen on :class:`AsyncCheckpointWriter` with an atomic rename —
+        the measured 74.6 s synchronous stall at gauge-30k scale
+        (results/gauge30k_r4b @3000, 213 MB on a 1-core host) drops to the
+        snapshot cost. ``background=False`` (final / SIGTERM-preemption
+        saves): fully synchronous — joins any in-flight write first, so the
+        file is guaranteed complete when the process exits.
+        """
+        t0 = time.time()
         meta = {
             "subsystem": self.args.subsystem,
             "model_cfg": self.model_cfg.__dict__,
@@ -1357,14 +1379,21 @@ class TriPlaneTrainer:
         }
         extra["key"] = np.asarray(self.key)
         extra["ray_ids"] = self._ray_ids.astype(np.int64)
-        save_checkpoint(
-            path,
+        from ..utils.checkpoint import pack_checkpoint, write_arrays_atomic
+
+        arrays = pack_checkpoint(
             self.params,
             meta=meta,
             alpha_volume=None if self.alpha is None else np.asarray(self.alpha.volume),
             alpha_aabb=None if self.alpha is None else np.asarray(self.alpha.aabb),
             extra_arrays=extra,
         )
+        if background:
+            self._ckpt_writer.submit(path, arrays)
+        else:
+            self._ckpt_writer.wait()
+            write_arrays_atomic(path, arrays)
+        return time.time() - t0
 
     @classmethod
     def from_checkpoint(

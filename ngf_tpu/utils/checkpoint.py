@@ -11,6 +11,8 @@ volume bit-packed with ``np.packbits`` exactly like the reference.
 from __future__ import annotations
 
 import json
+import os
+import threading
 from typing import Any
 
 import numpy as np
@@ -65,6 +67,18 @@ def _pack(params, meta, alpha_volume, alpha_aabb, extra_arrays=None):
     return arrays
 
 
+def pack_checkpoint(
+    params: Any,
+    meta: dict | None = None,
+    alpha_volume: np.ndarray | None = None,
+    alpha_aabb: np.ndarray | None = None,
+    extra_arrays: dict[str, np.ndarray] | None = None,
+) -> dict[str, np.ndarray]:
+    """Snapshot checkpoint state to host arrays (the blocking part of a
+    save); pair with :class:`AsyncCheckpointWriter` / :func:`write_arrays_atomic`."""
+    return _pack(params, meta, alpha_volume, alpha_aabb, extra_arrays)
+
+
 def save_checkpoint(
     path: str,
     params: Any,
@@ -92,8 +106,6 @@ def save_checkpoint(
     """
     arrays = _pack(params, meta, alpha_volume, alpha_aabb, extra_arrays)
     if backend == "orbax":
-        import os
-
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
@@ -101,7 +113,77 @@ def save_checkpoint(
         return
     if backend != "npz":
         raise ValueError(f"unknown checkpoint backend {backend!r}")
-    np.savez(path, **arrays)
+    write_arrays_atomic(path, arrays)
+
+
+def write_arrays_atomic(path: str, arrays: dict[str, np.ndarray]) -> None:
+    """npz-serialize ``arrays`` to ``path`` via tmp-file + ``os.replace``.
+
+    A crash/kill mid-write can never corrupt an existing checkpoint at
+    ``path``: the bytes land in ``<path>.tmp`` first and only a completed,
+    fsynced file is renamed over the old one (rename is atomic on POSIX).
+    """
+    tmp = f"{path}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            # Hand np.savez the file object: the string API appends ".npz"
+            # to names, which would break the rename pairing.
+            np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+class AsyncCheckpointWriter:
+    """Single-worker background npz writer for periodic training saves.
+
+    The measured pain (results/gauge30k_r4b, round-4 VERDICT): a
+    synchronous 213 MB ``np.savez`` on this 1-core host blocks training
+    ~75 s per ``save_every``. The split here keeps only the STATE SNAPSHOT
+    (device_get + flatten, so the checkpoint is a consistent point-in-time
+    view) on the training thread and moves serialization + disk to a
+    background thread with an atomic rename (:func:`write_arrays_atomic`).
+
+    One write in flight at a time: ``submit`` joins the previous write
+    first (saves are thousands of steps apart; back-to-back submits just
+    serialize), and re-raises any exception the previous write hit so
+    failures are loud at the next save rather than silent. Call ``wait()``
+    before process exit / the final synchronous save.
+
+    Contrast: the reference saves synchronously and rarely
+    (`InfoInv/main.py:335-336`, every 10k iters, no optimizer state).
+    """
+
+    def __init__(self) -> None:
+        self._thread: threading.Thread | None = None
+        self._exc: BaseException | None = None
+
+    def wait(self) -> None:
+        """Block until any in-flight write finishes; re-raise its error."""
+        t = self._thread
+        if t is not None:
+            t.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def submit(self, path: str, arrays: dict[str, np.ndarray]) -> None:
+        self.wait()
+
+        def _run() -> None:
+            try:
+                write_arrays_atomic(path, arrays)
+            except BaseException as e:  # surfaced by the next wait/submit
+                self._exc = e
+
+        self._thread = threading.Thread(
+            target=_run, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
 
 
 def load_checkpoint(path: str):
