@@ -14,7 +14,7 @@ set -e
 cd /root/repo
 while ! grep -q "all done" results/ab_sweep_r4/run_ours4.out 2>/dev/null; do sleep 30; done
 while ! grep -aq "'preempted': False" results/ab_sweep_r4/c4_s0/ours_tpu.out 2>/dev/null; do sleep 30; done
-nice -n 10 python main.py --config configs/synthetic_triplane_tpu30k.txt \
-    --basedir ./results --expname gauge30k_r4b --save_every 3000 \
-    > results/gauge30k_r4/run_b.out 2>&1
+nice -n 10 tools/launch_guard.sh gauge30k_r4b results/gauge30k_r4/run_b -- \
+    python main.py --config configs/synthetic_triplane_tpu30k.txt \
+    --basedir ./results --expname gauge30k_r4b --save_every 3000
 echo "[gauge30k] done $(date -u +%H:%M)"

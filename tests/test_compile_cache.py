@@ -332,15 +332,76 @@ class TestUpsamplePrewarm:
         t.train_block(8)  # and it trains
 
     def test_declines_when_a_mask_event_intervenes(self, datasets):
-        """A mask event between now and the upsample rebuilds the occupancy
-        grid, changing the measured capacity — prediction must decline (the
-        reference lego schedule co-fires mask+upsample at 2000/2500, which
-        is exactly this case)."""
-        t = self._trainer(datasets, update_AlphaMask_list=[16, 32])
+        """A mask event strictly BETWEEN now and the upsample rebuilds the
+        occupancy grid from weights that haven't trained yet — prediction
+        must decline."""
+        t = self._trainer(datasets, update_AlphaMask_list=[16, 24])
         for _ in range(2):
             t.train_block(8)
         t._event_update_alpha_mask(first=True)
         assert t._predict_upsample_rcfg() is None
+
+    def test_co_scheduled_mask_upsample_predicts_from_snapshot(self, datasets):
+        """The reference lego schedule co-fires mask+upsample at the same
+        iterations (`TriPlane/configs/lego.txt` 2000/2500). The mask rebuild
+        the upsample's capacity re-measure uses is then SIMULATED from a
+        params snapshot; without one the prediction declines (round-4 gauge
+        30k run paid 121.8 s at the second upsample for want of this)."""
+        t = self._trainer(datasets, update_AlphaMask_list=[16, 32])
+        for _ in range(2):
+            t.train_block(8)
+        t._event_update_alpha_mask(first=True)  # first mask+shrink @16
+
+        # co-scheduled at 32: declines without a snapshot...
+        assert t._predict_upsample_rcfg() is None
+        # ...predicts with one
+        snap = jax.tree.map(lambda x: x.copy(), t.params)
+        pred = t._predict_upsample_rcfg(params=snap)
+        assert pred is not None
+        nxt, reso, rcfg_pred = pred
+        assert nxt == 32
+
+        param_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t.params
+        )
+        t._prewarm_upsample_worker(param_shapes, snap)
+        fn_pred = t._step_jit_cache.get((rcfg_pred, True, t._opt_version))
+        assert fn_pred is not None
+
+        for _ in range(2):
+            t.train_block(8)
+        # the event sequence the run loop executes at iteration 32
+        t._event_update_alpha_mask(first=False)
+        t._event_upsample()
+        assert tuple(t.grid_size) == reso
+        # On this deterministic tiny run the simulated occupancy holds, so
+        # the event installs the prewarmed wrapper itself.
+        assert t._render_cfg() == rcfg_pred
+        assert t._step is fn_pred
+        t.train_block(8)  # and it trains
+
+    def test_stage_block_prewarm_covers_remainders(self, datasets, monkeypatch):
+        """After an event installs a stage, its boundary-remainder scan
+        blocks warm in the background (the 66.5 s 4-step-remainder stall at
+        2496→2500 of the round-4 gauge 30k run). The first block size is
+        the main thread's own next compile and is excluded."""
+        t = self._trainer(datasets, prewarm_events=1, n_iters=60,
+                          update_AlphaMask_list=[16], upsamp_list=[])
+        calls = []
+        monkeypatch.setattr(
+            t, "_warm_stage_blocks",
+            lambda fn, ps, os_, sizes, grid: calls.append((sizes, grid)),
+        )
+        for _ in range(2):
+            t.train_block(8)
+        t._event_update_alpha_mask(first=True)
+        th = getattr(t, "_prewarm_stage_blocks_thread", None)
+        assert th is not None
+        th.join(timeout=60)
+        # from iteration 16 with spc=8 and n_iters=60: blocks 8×5 + 4 —
+        # the remainder {4} is warmed, the steady 8 is not re-warmed.
+        assert calls and calls[-1][0] == [4]
+        assert calls[-1][1] is t.alpha  # masked stage: grid args included
 
     def test_declines_event_measured_shading_cap(self, datasets):
         t = self._trainer(datasets, rgb_cap=-2)

@@ -23,22 +23,26 @@ from pathlib import Path
 PSNR_RE = re.compile(r"======> (ref|ours) test all psnr: ([0-9.]+)")
 
 
-def last_psnr(path: Path, side: str) -> float | None:
+def last_psnr(path: Path, side: str) -> tuple[float | None, str]:
+    """Returns (value, status) with status in ok/missing/preempted/no-psnr
+    — the caller WARNS on every non-ok cell so a silently shrunken n is
+    impossible (round-4 ADVICE: rejected/lost cells used to vanish from
+    the band with no indication)."""
     if not path.exists():
-        return None
+        return None, "missing"
     text = path.read_text(errors="replace")
     if "'preempted': True" in text:
         # A graceful SIGTERM preemption still evaluates and prints a final
         # PSNR — from a PARTIALLY TRAINED model. Never a valid sweep cell
         # (round-4 restarts left two such cells: c4_s0 @300/600, c4_s2
         # @8/600); the cell must be rerun.
-        return None
+        return None, "preempted"
     val = None
     for line in text.splitlines():
         m = PSNR_RE.search(line)
         if m and m.group(1) == side:
             val = float(m.group(2))
-    return val
+    return val, ("ok" if val is not None else "no-psnr")
 
 
 def recovered_psnr(cell: Path, side: str) -> float | None:
@@ -55,6 +59,7 @@ def recovered_psnr(cell: Path, side: str) -> float | None:
 
 # PARITY.md / BASELINE.json config numbering (tools/ab_seed_sweep.py)
 CONFIG_NAMES = {
+    "1": "plain TriPlane (InfoInv code, no --infoinv)",
     "2": "InfoInv encoding (control)",
     "3": "TriPlane, gauge disabled (gauge_start > iters)",
     "4": "TriPlane, learned gauge (gauge_start 400)",
@@ -79,13 +84,30 @@ def main() -> None:
         if not m:
             continue
         cfg, seed = m.group(1), int(m.group(2))
-        ref = last_psnr(d / "ref.out", "ref")
-        if ref is None:
-            ref = recovered_psnr(d, "ref")
-        ours = last_psnr(d / "ours_tpu.out", "ours")
-        if ours is None:
-            ours = recovered_psnr(d, "ours")
-        cells.setdefault(cfg, {})[seed] = (ref, ours)
+        vals = {}
+        for side, pattern in (("ref", "ref*.out"), ("ours", "ours_tpu*.out")):
+            # Reruns get unique attempt-numbered logs (tools/launch_guard.sh)
+            # — newest valid file wins; a fixed name never gets truncated
+            # again (round-4 ADVICE, c2_s1 collision).
+            val, status = None, "missing"
+            for f in sorted(d.glob(pattern),
+                            key=lambda p: p.stat().st_mtime, reverse=True):
+                val, status = last_psnr(f, side)
+                if val is not None:
+                    break
+            if val is None:
+                val = recovered_psnr(d, side)
+                if val is not None:
+                    status = "recovered"
+            if val is None:
+                print(
+                    f"WARNING: {d.name} {side} side dropped from the band "
+                    f"({pattern}: {status}, no RECOVERED.json value) — "
+                    f"n shrinks; rerun the cell",
+                    file=sys.stderr,
+                )
+            vals[side] = val
+        cells.setdefault(cfg, {})[seed] = (vals["ref"], vals["ours"])
     summary: dict[str, dict] = {}
     for cfg in sorted(cells):
         print(f"config #{cfg}: {CONFIG_NAMES.get(cfg, '?')}")
