@@ -701,6 +701,120 @@ class TriPlaneTrainer:
         except Exception as e:  # pragma: no cover - best-effort by design
             print(f"[trainer] event-program prewarm skipped: {e}")
 
+    def _first_event_prewarm_iter(self) -> int | None:
+        """Launch iteration for the first-TriPlane-event speculation, or
+        None. The lead balances compile overlap (the cold stage compile is
+        minutes on the remote service) against prediction staleness (the
+        occupancy boundary — and with it the shrink aabb — still moves
+        early in training)."""
+        args = self.args
+        if (
+            not getattr(args, "prewarm_events", 0)
+            or args.subsystem != "triplane"
+            or self.alpha is not None
+            or not (args.update_AlphaMask_list or [])
+            or self._sample_parallel
+        ):
+            return None
+        first = min(args.update_AlphaMask_list)
+        spc = max(1, args.steps_per_call)
+        # Aligned to steps_per_call: an unaligned trigger boundary would
+        # itself mint a new remainder-block program (the 286 s class).
+        trigger = (first - min(first // 4, 512)) // spc * spc
+        if trigger <= 0 or self.iteration >= trigger:
+            return None
+        return trigger
+
+    def _start_first_event_prewarm(self):
+        """Speculatively compile everything the FIRST TriPlane mask event
+        chain will install (shrink → [co-scheduled upsample] → capacity →
+        stage program) by SIMULATING the whole chain from a params
+        snapshot shortly before the event. The round-4 gauge 30k run paid
+        153.6 s of main-thread stall at @2000→2016 for this compile
+        (results/gauge30k_r4b; NOTES.md round-5 decomposition) — the only
+        event the existing prewarms cannot predict because the shrink aabb
+        is data-dependent. Speculation contract: the shrink box is
+        voxel-quantized, so a snapshot a few hundred steps early usually
+        lands the exact aabb; a miss costs nothing vs the status quo (the
+        event compiles cold, as before)."""
+        import threading
+
+        params_snap = jax.tree.map(lambda x: x.copy(), self.params)
+        self._first_event_thread = threading.Thread(
+            target=self._first_event_worker,
+            args=(params_snap,),
+            daemon=True,
+            name="ngf-first-event-prewarm",
+        )
+        self._first_event_thread.start()
+
+    def _first_event_worker(self, params):
+        import dataclasses as _dc
+
+        try:
+            args = self.args
+            near = float(self.train_dataset.near_far[0])
+            far = float(self.train_dataset.near_far[1])
+            r = args.alpha_grid_res
+            if args.rgb_cap == -2:
+                return  # shading capacity is event-measured
+            first = min(args.update_AlphaMask_list)
+            # 1. the event's grid build (no prev at the first event)
+            grid, new_aabb = update_alpha_mask(
+                params, self.model_cfg, self.aabb, self.step_size,
+                grid_size=(r, r, r), alpha_thres=args.alpha_mask_thre,
+                prev=None,
+            )
+            aabb2 = np.asarray(jax.device_get(new_aabb), np.float32)
+            # 2. shrink simulation (warms the crop program at these shapes)
+            t_l, b_r = shrink_box_voxels(self.aabb, aabb2, self.grid_size)
+            p0 = jax.tree.map(jnp.zeros_like, params)
+            p_stage = shrink_planes(p0, t_l, b_r)
+            new_size = [int(v) for v in np.asarray(b_r - t_l, np.int64)]
+            step = grid_step_size(aabb2, new_size, args.step_ratio)
+            # 3. the event's post-shrink ray refilter
+            keep = np.asarray(
+                filter_rays_alpha(self.all_rays, grid, aabb2, near, far, step)
+            )
+            rays_f = self.all_rays[keep] if keep.any() else self.all_rays
+            # 4. co-scheduled upsample (the reference lego schedule)
+            n_samples = self.n_samples
+            if first in (args.upsamp_list or []) and self.n_voxel_list:
+                reso = n_to_reso(self.n_voxel_list[0], aabb2)
+                n_samples = min(
+                    args.nSamples, cal_n_samples(reso, args.step_ratio)
+                )
+                p_stage = upsample_planes(p_stage, tuple(int(v) for v in reso))
+                step = grid_step_size(aabb2, list(reso), args.step_ratio)
+            # 5. capacity at the post-event marching resolution
+            if args.sample_cap != -1:
+                cap = args.sample_cap
+            elif args.masked_sample_cap > 0:
+                cap = args.masked_sample_cap
+            else:
+                counts = occupied_samples_per_ray(
+                    rays_f, grid, aabb2, near, far, step, n_samples
+                )
+                cap = auto_sample_cap(counts, n_samples)
+            rgb = max(32, cap // 4) if args.rgb_cap == -1 else max(0, args.rgb_cap)
+            rcfg = _dc.replace(
+                self._render_cfg(sample_cap=cap),
+                aabb=tuple(map(tuple, aabb2.tolist())),
+                n_samples=int(n_samples), step_size=float(step), rgb_cap=rgb,
+            )
+            # 6. the stage program + its scan-block executables
+            fn = self._build_step(rcfg=rcfg, has_alpha=True, install=False)
+            param_shapes = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), p_stage
+            )
+            opt_shapes = jax.eval_shape(self.optimizer.init, param_shapes)
+            self._warm_stage_blocks(
+                fn, param_shapes, opt_shapes,
+                sorted(self._stage_block_sizes(first)), grid,
+            )
+        except Exception as e:  # pragma: no cover - best-effort by design
+            print(f"[trainer] first-event prewarm skipped: {e}")
+
     def _predict_upsample_rcfg(self, params=None):
         """(next_upsample_iter, target_reso, rcfg) for the NEXT upsample
         event, or None when it cannot be known yet.
@@ -1386,6 +1500,9 @@ class TriPlaneTrainer:
             # run until the next boundary (event / vis / save / end)
             boundaries = [args.n_iters]
             boundaries += [e for e in events if e > self.iteration]
+            few_trigger = self._first_event_prewarm_iter()
+            if few_trigger is not None:
+                boundaries.append(few_trigger)
             if args.N_vis != 0 and args.vis_every > 0:
                 # The reference evaluates when the 0-based loop variable hits
                 # vis_every-1, i.e. after vis_every completed steps
@@ -1425,6 +1542,10 @@ class TriPlaneTrainer:
                     progress_cb(self.iteration, mses_accum[-1] if mses_accum else None)
 
             it = self.iteration
+            if few_trigger is not None and it == few_trigger:
+                # Speculative first-event compile: simulate the shrink chain
+                # from a snapshot while the open stage trains the lead-in.
+                self._start_first_event_prewarm()
             # Eval fires at vis_every completed steps (see boundary note above).
             if args.N_vis != 0 and args.vis_every > 0 and it % args.vis_every == 0 and it > 0 and self.test_dataset is not None and self.logfolder:
                 fn = self.make_eval_render_fn(iteration=it)

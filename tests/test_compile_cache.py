@@ -380,6 +380,35 @@ class TestUpsamplePrewarm:
         assert t._step is fn_pred
         t.train_block(8)  # and it trains
 
+    def test_first_event_speculation_installs_exactly(self, datasets):
+        """The first TriPlane event chain (grid → shrink → co-scheduled
+        upsample → capacity → stage) simulated from a params snapshot
+        yields the EXACT program the event installs when the weights don't
+        drift in between (153.6 s @2000→2016 of the round-4 gauge 30k run;
+        deterministic here: no training between speculation and event)."""
+        t = self._trainer(datasets, update_AlphaMask_list=[16],
+                          upsamp_list=[16])
+        for _ in range(2):
+            t.train_block(8)
+        before = dict(t._step_jit_cache)
+        t._first_event_worker(jax.tree.map(lambda x: x.copy(), t.params))
+        speculated = [k for k in t._step_jit_cache if k not in before]
+        assert len(speculated) == 1
+        fn_pred = t._step_jit_cache[speculated[0]]
+
+        t._event_update_alpha_mask(first=True)
+        t._event_upsample()
+        assert t._step is fn_pred  # prediction held: aabb, caps, geometry
+        t.train_block(8)
+
+    def test_first_event_prewarm_trigger_alignment(self, datasets):
+        t = self._trainer(datasets, update_AlphaMask_list=[20],
+                          upsamp_list=[40], prewarm_events=1)
+        trig = t._first_event_prewarm_iter()
+        assert trig is not None and trig % 8 == 0 and 0 < trig < 20
+        # not for infoinv / already-masked / disabled
+        assert self._trainer(datasets)._first_event_prewarm_iter() is None
+
     def test_stage_block_prewarm_covers_remainders(self, datasets, monkeypatch):
         """After an event installs a stage, its boundary-remainder scan
         blocks warm in the background (the 66.5 s 4-step-remainder stall at
