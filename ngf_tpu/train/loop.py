@@ -119,6 +119,7 @@ class TriPlaneTrainer:
         self.n_samples = min(args.nSamples, cal_n_samples(self.reso_cur, args.step_ratio))
         self.step_size = grid_step_size(self.aabb, self.reso_cur, args.step_ratio)
         self.grid_size = list(self.reso_cur)
+        self._check_marching_coverage("init")
 
         key = jax.random.PRNGKey(args.seed)
         self.key, init_key = jax.random.split(key)
@@ -255,6 +256,30 @@ class TriPlaneTrainer:
                 )
             )
         ]
+
+    def _check_marching_coverage(self, where: str):
+        """LOUD warning when ``--nSamples`` caps marching below the
+        geometry-required count (`cal_n_samples`): rays then stop
+        ``n_samples * step_size`` short of the aabb's longest chord and the
+        far side of long chords silently never trains. The reference cannot
+        hit this (its ``--nSamples`` default is 1e6, `InfoInv/opt.py:84`,
+        so ``min`` always picks `cal_n_samples`); our TPU configs bound the
+        compiled shape explicitly — MEASURED footgun: the round-5 gauge 30k
+        run's second upsample raised the requirement to 1045 vs the
+        config's 886 (84.8% diagonal coverage) and train PSNR collapsed
+        52.6 → 39.2 permanently (results/gauge30k_r4b, NOTES.md)."""
+        need = int(cal_n_samples(self.reso_cur, self.args.step_ratio))
+        if self.n_samples < need:
+            diag = float(np.linalg.norm(np.asarray(self.aabb)[1] - np.asarray(self.aabb)[0]))
+            cover = self.n_samples * self.step_size / max(diag, 1e-9)
+            print(
+                f"[trainer] WARNING ({where}): nSamples {self.n_samples} < "
+                f"required {need} at this resolution — marching covers only "
+                f"{100.0 * cover:.1f}% of the aabb diagonal; long-chord rays "
+                f"truncate and their far side NEVER trains. Raise --nSamples "
+                f"to >= {need}.",
+                flush=True,
+            )
 
     def _make_optimizer(self, reset: bool):
         lr_tree = triplane_lr_tree(self.params, self.args.lr_init, self.args.lr_basis)
@@ -1339,6 +1364,7 @@ class TriPlaneTrainer:
         _t["resize"] = time.time()
         self.grid_size = list(self.reso_cur)
         self.step_size = grid_step_size(self.aabb, self.grid_size, self.args.step_ratio)
+        self._check_marching_coverage(f"upsample@{self.iteration}")
         # optimizer recreated at initial LRs -> schedule restarts.
         self._make_optimizer(reset=True)
         if self.args.sample_cap == -1 and self.alpha is not None:

@@ -172,6 +172,21 @@ class TestTrainingLoop:
             "auto sample_cap is stale: measured at the pre-upsample step size"
         )
 
+    def test_marching_coverage_warning(self, datasets, capsys):
+        """`--nSamples` below the geometry-required `cal_n_samples` must
+        warn LOUDLY: the round-5 gauge 30k run lost 13 dB permanently to a
+        silent 84.8% marching coverage after its second upsample (the
+        reference cannot hit this — `InfoInv/opt.py:84` defaults nSamples
+        to 1e6, so min() always picks the required count)."""
+        train_ds, test_ds = datasets
+        TriPlaneTrainer(tiny_args(nSamples=16), train_ds, test_ds, None)
+        out = capsys.readouterr().out
+        assert "WARNING (init)" in out and "Raise --nSamples" in out
+        # and a fully-covering budget stays silent (the tiny_args default
+        # of 96 is itself truncated — fine for these shape-level tests)
+        TriPlaneTrainer(tiny_args(nSamples=256), train_ds, test_ds, None)
+        assert "WARNING (init)" not in capsys.readouterr().out
+
     def test_eval_render(self, datasets):
         train_ds, test_ds = datasets
         trainer = TriPlaneTrainer(tiny_args(n_iters=96), train_ds, test_ds, None)
