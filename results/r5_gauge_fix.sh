@@ -10,8 +10,10 @@ cd /root/repo
 G=tools/launch_guard.sh
 DTYPE=${1:-float32}
 
-echo "[gauge-fix] waiting for r5_tpu_probes 'all done'..."
-while ! grep -q "all done" results/r5_tpu_probes.out 2>/dev/null; do sleep 60; done
+echo "[gauge-fix] waiting for r5_tpu_probes completion marker"
+# Anchored marker: the probes log's own "waiting for ... 'all done'" line
+# must not satisfy this gate (it did once — launched into a collision).
+while ! grep -q "^\[probes\] all done" results/r5_tpu_probes.out 2>/dev/null; do sleep 60; done
 echo "[gauge-fix] starting ($DTYPE) $(date -u +%H:%M)"
 mkdir -p results/gauge30k_fix_r5
 nice -n 10 $G gauge30k_fix results/gauge30k_fix_r5/run -- \
