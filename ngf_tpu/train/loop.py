@@ -1001,28 +1001,40 @@ class TriPlaneTrainer:
             print(f"[trainer] upsample-stage prewarm skipped: {e}")
 
     def _warm_stage_blocks(self, fn, param_shapes, opt_shapes, sizes, grid):
-        """Execute ``fn`` (a memoized stage-step wrapper) once per scan-block
-        size with zero-filled arguments, seeding both the remote compile
-        cache and the wrapper's in-process executable cache. ``sizes`` is
-        honored in the given order (warm the soonest-needed block first);
-        ``grid=None`` for the open (maskless) stage."""
+        """AOT-compile ``fn`` (a memoized stage-step wrapper) at each
+        scan-block size, seeding the REMOTE compile-service cache: the
+        event-time first call then re-traces (seconds) and fetches the
+        byte-identical program from the service cache (~30 s) instead of
+        compiling cold (minutes). ``sizes`` is honored in the given order
+        (soonest-needed first); ``grid=None`` for the open stage.
+
+        AOT (lower+compile on ShapeDtypeStructs), NOT execution: a warm
+        EXECUTION allocates a full second set of params/opt/batch buffers
+        and live activations next to the concurrently-training stage —
+        measured HBM OOM at the corrected gauge-30k scale (the @2000
+        masked stage at nSamples 1045 / cap 704 crashed RESOURCE_EXHAUSTED
+        while the upsample prewarm executed its warm call,
+        results/gauge30k_fix_r5/run.attempt1.out, round 5)."""
         B = self.args.batch_size
+        sds = jax.ShapeDtypeStruct
         for T in sizes:
-            p0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), param_shapes)
-            o0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), opt_shapes)
+            keys = jax.eval_shape(
+                lambda: jax.random.split(jax.random.PRNGKey(0), T)  # noqa: B023
+            )
             call = [
-                p0, o0,
-                jnp.zeros((T, B, 6), jnp.float32),
-                jnp.zeros((T, B, 3), jnp.float32),
-                jax.random.split(jax.random.PRNGKey(0), T),
-                jnp.zeros((T,), jnp.int32), jnp.float32(0.0),
+                param_shapes, opt_shapes,
+                sds((T, B, 6), jnp.float32),
+                sds((T, B, 3), jnp.float32),
+                keys,
+                sds((T,), jnp.int32), sds((), jnp.float32),
             ]
             if grid is not None:
-                call += [grid.volume, grid.aabb, grid.table]
-            out = fn(*call)
-            # Host readback: actually wait for the program (CLAUDE.md —
-            # block_until_ready returns early on this backend).
-            float(out[2][-1])
+                call += [
+                    sds(grid.volume.shape, grid.volume.dtype),
+                    sds(grid.aabb.shape, grid.aabb.dtype),
+                    sds(grid.table.shape, grid.table.dtype),
+                ]
+            fn.lower(*call).compile()
 
     def _start_stage_block_prewarm(self):
         """After an event installs a new stage, background-warm its
@@ -1084,25 +1096,28 @@ class TriPlaneTrainer:
         if not warm_eval:
             return
         try:
-            # Compile the vis-eval program by calling the CACHED inner jit
-            # with zero params (the make_eval_render_fn lambda binds live —
-            # possibly donated — param buffers; zeros of the same shapes
-            # compile the identical program). One (eval_chunk, 6) call
-            # covers every image: render_image pads the final chunk.
+            # AOT-compile the vis-eval program through the CACHED inner jit
+            # (the make_eval_render_fn lambda binds live — possibly donated
+            # — param buffers; ShapeDtypeStructs lower the identical
+            # program with zero device allocation). One (eval_chunk, 6)
+            # shape covers every image: render_image pads the final chunk.
             self.make_eval_render_fn(iteration=self.iteration)
             render = self._eval_render_cache[
                 (self._render_cfg(), grid is not None)
             ]
-            p0 = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), param_shapes
-            )
-            rays0 = jnp.zeros((self.args.eval_chunk, 6), jnp.float32)
+            sds = jax.ShapeDtypeStruct
+            call = [
+                param_shapes,
+                sds((self.args.eval_chunk, 6), jnp.float32),
+                sds((), jnp.int32),
+            ]
             if grid is not None:
-                out = render(p0, rays0, jnp.int32(0),
-                             grid.volume, grid.aabb, grid.table)
-            else:
-                out = render(p0, rays0, jnp.int32(0))
-            float(out[0][0, 0])  # host readback: wait for the compile
+                call += [
+                    sds(grid.volume.shape, grid.volume.dtype),
+                    sds(grid.aabb.shape, grid.aabb.dtype),
+                    sds(grid.table.shape, grid.table.dtype),
+                ]
+            render.lower(*call).compile()
         except Exception as e:  # pragma: no cover - best-effort by design
             print(f"[trainer] eval-render prewarm skipped: {e}")
 
