@@ -337,6 +337,17 @@ def _downsample_for(a: argparse.Namespace) -> float:
     return 800.0 / a.wh
 
 
+def _int_list(s: str) -> list[int]:
+    return [int(v) for v in str(s).split(",") if str(v).strip()]
+
+
+def _splat(flag: str, values: list[int]) -> list[str]:
+    out: list[str] = []
+    for v in values:
+        out += [flag, str(v)]
+    return out
+
+
 def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
     _install_shims()
     ref_dir = REF_DIRS[a.subsystem]
@@ -361,7 +372,7 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         "--n_iters", str(a.iters),
         "--batch_size", str(a.batch),
         "--nSamples", str(a.nsamples),
-        "--update_AlphaMask_list", str(a.alpha_at),
+    ] + _splat("--update_AlphaMask_list", a.alpha_at) + [
         # An upsample co-scheduled with the shrink event mirrors the
         # reference's own lego schedule (upsamp_list and
         # update_AlphaMask_list both start at 2000): the reference's
@@ -369,9 +380,11 @@ def run_reference(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
         # optimizer (TriPlane/main.py:334-341), so without a same-iteration
         # upsample its planes silently stop training (stale Adam refs) — a
         # latent reference bug its shipped configs never expose.
-        "--upsamp_list", str(a.upsamp_at if a.upsamp_at else 10 * a.iters),
-        "--N_voxel_init", str(256 ** 3),
-        "--N_voxel_final", str(256 ** 3),
+    ] + _splat(
+        "--upsamp_list", a.upsamp_at if a.upsamp_at else [10 * a.iters]
+    ) + [
+        "--N_voxel_init", str(a.n_voxel_init),
+        "--N_voxel_final", str(a.n_voxel_final),
         "--N_vis", "0",
         "--vis_every", str(10 * a.iters),
         "--render_test", "1",
@@ -417,13 +430,14 @@ def run_ours(scene_dir: str, log_dir: str, a: argparse.Namespace) -> None:
     ] + (
         (["--infoinv"] if a.infoinv else []) if a.subsystem == "infoinv"
         else ["--gauge_start", str(a.gauge_start),
-              "--N_voxel_init", str(256 ** 3), "--N_voxel_final", str(256 ** 3)]
-        + (["--upsamp_list", str(a.upsamp_at)] if a.upsamp_at else [])
+              "--N_voxel_init", str(a.n_voxel_init),
+              "--N_voxel_final", str(a.n_voxel_final)]
+        + _splat("--upsamp_list", a.upsamp_at)
     ) + [
         "--n_iters", str(a.iters),
         "--batch_size", str(a.batch),
         "--nSamples", str(a.nsamples),
-        "--update_AlphaMask_list", str(a.alpha_at),
+    ] + _splat("--update_AlphaMask_list", a.alpha_at) + [
         "--N_vis", "0",
         "--vis_every", "0",
         "--render_test", "1",
@@ -480,7 +494,14 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=800)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--nsamples", type=int, default=448)
-    p.add_argument("--alpha-at", type=int, default=400)
+    p.add_argument("--n-voxel-init", type=int, default=256 ** 3,
+                   dest="n_voxel_init")
+    p.add_argument("--n-voxel-final", type=int, default=256 ** 3,
+                   dest="n_voxel_final",
+                   help="> init exercises the reference's exp-interpolated "
+                        "voxel growth schedule across the upsample list")
+    p.add_argument("--alpha-at", type=_int_list, default=[400],
+                   help="comma list of alpha-mask event iterations")
     p.add_argument("--subsystem", default="infoinv",
                    choices=["infoinv", "triplane"])
     p.add_argument("--infoinv", type=int, default=1,
@@ -489,10 +510,10 @@ def main() -> None:
                         "orthogonal projection (config #1)")
     p.add_argument("--gauge-start", type=int, default=400, dest="gauge_start",
                    help="triplane subsystem: learned-gauge activation iter")
-    p.add_argument("--upsamp-at", type=int, default=0, dest="upsamp_at",
-                   help="triplane: upsample event iteration (0 = never); "
-                        "co-schedule with --alpha-at to mirror the "
-                        "reference lego schedule")
+    p.add_argument("--upsamp-at", type=_int_list, default=[], dest="upsamp_at",
+                   help="triplane: comma list of upsample event iterations "
+                        "(empty = never); co-schedule with --alpha-at to "
+                        "mirror the reference lego schedule")
     p.add_argument("--seed", type=int, default=20211202,
                    help="training seed for BOTH sides (the exported scene "
                         "is deterministic, so runs with different seeds "
