@@ -83,6 +83,17 @@ class TrainArgs:
 
     rm_weight_mask_thre: float = 1e-4
     alpha_mask_thre: float = 1e-4
+    # Occupancy-alpha length scale. 0 = reference semantics: alpha for the
+    # mask threshold is 1-exp(-sigma * CURRENT step) (`TriPlane/models/
+    # FieldBase.py:158,177` passes self.stepSize), which makes the fixed
+    # 1e-4 threshold ~3.4x harsher in sigma after the lego schedule's
+    # shrink+upsample — measured on the bundled scene to cull live border
+    # cells at the SECOND mask event and permanently collapse training
+    # (round-5 E1/E2/E6 isolation, NOTES.md; 52.6 -> 39 train PSNR).
+    # > 0 = evaluate mask alpha at this FIXED length instead, making the
+    # cull scale-invariant across upsample events (set it to the
+    # pre-upsample step, e.g. 0.0059 for the lego schedule).
+    alpha_mask_len: float = 0.0
     distance_scale: float = 25.0
     density_shift: float = -10.0
 

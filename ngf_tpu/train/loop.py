@@ -687,11 +687,13 @@ class TriPlaneTrainer:
             # these programs stay valid even for TriPlane's post-shrink
             # geometry.
             grid, _ = update_alpha_mask(
-                params, self.model_cfg, self.aabb, self.step_size,
+                params, self.model_cfg, self.aabb,
+                self.args.alpha_mask_len or self.step_size,
                 grid_size=(r, r, r), alpha_thres=args.alpha_mask_thre, prev=None,
             )
             grid, _ = update_alpha_mask(
-                params, self.model_cfg, self.aabb, self.step_size,
+                params, self.model_cfg, self.aabb,
+                self.args.alpha_mask_len or self.step_size,
                 grid_size=(r, r, r), alpha_thres=args.alpha_mask_thre, prev=grid,
             )
             if args.sample_cap == -1:
@@ -786,7 +788,8 @@ class TriPlaneTrainer:
             first = min(args.update_AlphaMask_list)
             # 1. the event's grid build (no prev at the first event)
             grid, new_aabb = update_alpha_mask(
-                params, self.model_cfg, self.aabb, self.step_size,
+                params, self.model_cfg, self.aabb,
+                self.args.alpha_mask_len or self.step_size,
                 grid_size=(r, r, r), alpha_thres=args.alpha_mask_thre,
                 prev=None,
             )
@@ -902,7 +905,8 @@ class TriPlaneTrainer:
             # 121.8 s @2516 stall was exactly that cold build.
             r = args.alpha_grid_res
             grid, _ = update_alpha_mask(
-                params, self.model_cfg, self.aabb, self.step_size,
+                params, self.model_cfg, self.aabb,
+                self.args.alpha_mask_len or self.step_size,
                 grid_size=(r, r, r), alpha_thres=args.alpha_mask_thre,
                 prev=self.alpha,
             )
@@ -1277,7 +1281,10 @@ class TriPlaneTrainer:
             self.params,
             self.model_cfg,
             self.aabb,
-            self.step_size,
+            # Occupancy-threshold length: the reference's current-step
+            # semantics by default; a fixed scale-invariant length with
+            # alpha_mask_len > 0 (see config.py — the round-5 collapse fix).
+            self.args.alpha_mask_len or self.step_size,
             grid_size=reso_mask,
             alpha_thres=self.args.alpha_mask_thre,
             # The reference's compute_alpha pre-culls with the EXISTING
